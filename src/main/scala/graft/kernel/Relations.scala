@@ -1,0 +1,187 @@
+package graft.kernel
+
+/** An entity mention with character offsets and a provenance method tag
+  * (reference provenance struct, /root/reference/src/types.rs:91-112). */
+final case class MentionSpan(
+    surface: String,
+    entityType: String,
+    start: Int,
+    end: Int,
+    confidence: Double)
+
+/** A raw extracted relation before normalization: subject surface form,
+  * Schema.org property (pre-stemming), object (entity surface or
+  * literal), plus span provenance. */
+final case class RawRelation(
+    subj: String,
+    subjType: String,
+    pred: String,
+    obj: String,
+    objIsEntity: Boolean,
+    objType: String,
+    sentIdx: Int,
+    confidence: Double)
+
+/** Deterministic mention detection + pattern relation extraction —
+  * the model-free analogues of the reference's GLiNER NER
+  * (/root/reference/src/gliner_extractor.rs:192-231) and LLM relation
+  * extraction honoring the system-prompt spec
+  * (/root/reference/src/extractor.rs:14-117): explicit facts only, fixed
+  * entity types, relation direction rules, ISO-8601 dates, nested
+  * entities carry only a name, do-not-extract list.
+  */
+object Relations {
+
+  /** Entity typing dictionary (SURVEY.md §2 T3: capitalized-sequence
+    * detector + type dictionary). Suffix/keyword rules first, then a
+    * small place gazetteer, then word-count heuristic. */
+  private val eduMarkers = Seq("University", "College", "Institute", "School")
+  private val orgMarkers = Seq("Corp", "Inc", "LLC", "Ltd", "Company", "Labs", "Group", "Systems")
+  val placeGazetteer: Set[String] = Set(
+    "Denmark", "France", "Poland", "Germany", "Spain", "Japan", "Brazil",
+    "Canada", "Norway", "Sweden", "Austria", "Portugal", "Finland",
+    "Ireland", "Iceland", "Belgium", "Hungary", "Croatia", "Estonia",
+    "Aarhus", "Lyon", "Krakow", "Hamburg", "Seville", "Osaka", "Recife",
+    "Toronto", "Bergen", "Uppsala", "Graz", "Porto", "Tampere", "Galway",
+    "Reykjavik", "Ghent", "Szeged", "Split", "Tartu", "Warsaw", "Paris",
+    "New York", "San Francisco", "Cupertino", "California")
+
+  def classify(surface: String): String = {
+    if (surface.endsWith("Airport")) "Airport"
+    else if (eduMarkers.exists(m => surface.contains(m))) "EducationalOrganization"
+    else if (orgMarkers.exists(m => surface.contains(m))) "Organization"
+    else if (placeGazetteer.contains(surface)) "Place"
+    else if (surface.split(" ").length >= 2) "Person"
+    else "Place"
+  }
+
+  /** Scan a text for maximal capitalized sequences (same scan as the
+    * coref entity pass, /root/reference/src/coref.rs:275-295) and type
+    * them. Offsets are into `text`. */
+  def mentions(text: String): Vector[MentionSpan] = {
+    val out = Vector.newBuilder[MentionSpan]
+    val sentences = text.split('.').filter(_.trim.nonEmpty)
+    sentences.foreach { sentence =>
+      val sentStart = math.max(0, text.indexOf(sentence))
+      val words = sentence.split("\\s+").filter(_.nonEmpty)
+      var i = 0
+      while (i < words.length) {
+        if (capWord(words(i)) && Coref.classifyPronoun(stripPunct(words(i))).isEmpty) {
+          var j = i + 1
+          val ew = Vector.newBuilder[String]
+          ew += stripPunct(words(i))
+          while (j < words.length && capWord(words(j)) &&
+                 !words(j - 1).endsWith(",") && !words(j - 1).endsWith(".")) {
+            ew += stripPunct(words(j)); j += 1
+          }
+          val surface = ew.result().mkString(" ")
+          val start = text.indexOf(words(i).takeWhile(c => !",.".contains(c)), sentStart)
+          out += MentionSpan(surface, classify(surface),
+            math.max(start, 0), math.max(start, 0) + surface.length, 0.9)
+          i = j
+        } else i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def stripPunct(w: String): String =
+    w.dropWhile(c => !c.isLetterOrDigit).reverse.dropWhile(c => !c.isLetterOrDigit).reverse
+
+  /** Entity-word predicate for NER/object extraction: starts uppercase.
+    * Unlike the coref scan (which excludes ALL-CAPS per coref.rs:474-482),
+    * acronyms like "UT"/"MIT" are entity words here — the reference's
+    * GLiNER stage and LLM extractor both handle acronyms
+    * (test_cases.json:24-29 expects object "UT Austin"). */
+  private def capWord(w: String): Boolean = {
+    val s = stripPunct(w)
+    s.nonEmpty && s.charAt(0).isUpper
+  }
+
+  /** Leading capitalized entity of a phrase (object side), stopping at a
+    * comma — "Aarhus, Denmark" → "Aarhus". */
+  private[kernel] def entityAtStart(phrase: String): Option[String] = {
+    val beforeComma = phrase.split(",")(0)
+    val words = beforeComma.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty || !capWord(words(0))) return None
+    val ew = Vector.newBuilder[String]
+    ew += stripPunct(words(0))
+    var j = 1
+    while (j < words.length && capWord(words(j)) && !words(j - 1).endsWith(".")) {
+      ew += stripPunct(words(j)); j += 1
+    }
+    Some(ew.result().mkString(" "))
+  }
+
+  /** Trailing capitalized entity of a phrase (subject side). */
+  private[kernel] def entityAtEnd(phrase: String): Option[String] = {
+    val words = phrase.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return None
+    val i0 = words.length - 1
+    if (!capWord(words(i0))) return None
+    var i = i0
+    while (i > 0 && capWord(words(i - 1)) &&
+           !words(i - 1).endsWith(",") && !words(i - 1).endsWith(".")) i -= 1
+    Some(words.slice(i, words.length).map(stripPunct).mkString(" "))
+  }
+
+  /** (verb phrase, Schema.org property, object is a date literal). Listed
+    * longest-first so "was founded by" wins over "founded". */
+  private val patterns: Seq[(String, String, Boolean)] = Seq(
+    ("serves the city of", "location", false),
+    ("is headquartered in", "location", false),
+    ("was founded by", "foundedBy", false),
+    ("is the capital of", "containedInPlace", false),
+    ("is a member of", "memberOf", false),
+    ("is located in", "location", false),
+    ("graduated from", "alumniOf", false),
+    ("was born on", "birthDate", true),
+    ("was born in", "birthPlace", false),
+    ("works for", "worksFor", false),
+    ("died on", "deathDate", true),
+    ("founded", "worksFor", false) // direction rule (extractor.rs:34)
+  )
+
+  /** Extract relations from resolved text, sentence by sentence. Each
+    * sentence yields at most one relation (first matching pattern),
+    * mirroring the reference's one-fact-per-simple-sentence fixtures. */
+  def extract(resolvedText: String): Vector[RawRelation] = {
+    val sentences = resolvedText.split('.').filter(_.trim.nonEmpty)
+    val out = Vector.newBuilder[RawRelation]
+    sentences.zipWithIndex.foreach { case (sentence0, sentIdx) =>
+      val sentence = sentence0.trim
+      patterns.find { case (vp, _, _) => sentence.contains(" " + vp + " ") }.foreach {
+        case (vp, prop, isDate) =>
+          val at = sentence.indexOf(" " + vp + " ")
+          val lhs = sentence.substring(0, at)
+          val rhs = sentence.substring(at + vp.length + 2)
+          val subj = entityAtEnd(lhs)
+          val obj: Option[(String, Boolean, String)] =
+            if (isDate) Dates.findIso(rhs).map(d => (d, false, ""))
+            else entityAtStart(rhs).map(e => (e, true, classify(e)))
+          (subj, obj) match {
+            case (Some(s), Some((o, isEnt, oType)))
+                // Skip pronoun-surface arguments: the LLM spec resolves
+                // them to entities (extractor.rs:30-33); an unresolved
+                // sentence-initial "He" (the coref self-match quirk,
+                // coref.rs:474-482) must not mint a pronoun entity.
+                if Coref.classifyPronoun(s).isEmpty && Coref.classifyPronoun(o).isEmpty =>
+              out += RawRelation(s, classify(s), prop, o, isEnt, oType, sentIdx, 0.9)
+            case _ => ()
+          }
+      }
+    }
+    out.result()
+  }
+
+  /** Heuristic triple filter (P12,
+    * /root/reference/examples/docred_evaluation.rs:330-358): drop
+    * predicates containing founder/funder/currentceo/ceo, and alumni
+    * not alumniOf. Applied on the *canonical* predicate. */
+  def likelyIncorrect(pred: String): Boolean = {
+    val p = pred.toLowerCase
+    p.contains("founder") || p.contains("funder") || p.contains("currentceo") ||
+      (p.contains("ceo") && !p.contains("founded")) ||
+      (p.contains("alumni") && !p.contains("alumniof"))
+  }
+}

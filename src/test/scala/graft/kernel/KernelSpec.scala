@@ -1,0 +1,205 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden values lifted from the reference's own unit tests — the parity
+  * oracle for every deterministic kernel function (SURVEY.md §5). */
+class KernelSpec extends AnyFunSuite {
+
+  // --- normalize.rs:149-175 ---
+  test("slug goldens") {
+    assert(Slug.slug("Alan Bean") == "alan_bean")
+    assert(Slug.slug("Albert Einstein") == "albert_einstein")
+    assert(Slug.slug("MIT") == "mit")
+    assert(Slug.slug("New York") == "new_york")
+    assert(Slug.slug("José García") == "jose_garcia")
+    assert(Slug.slug("Björk Guðmundsdóttir") == "bjork_gudmundsdottir")
+    assert(Slug.slug("Cañón City") == "canon_city")
+    assert(Slug.slug("AT&T Corporation") == "at_t_corporation")
+    assert(Slug.slug("O'Reilly Media") == "o_reilly_media")
+  }
+
+  // --- normalize.rs:178-199 ---
+  test("porter stem goldens") {
+    assert(Porter.stemPredicate("runs") == "run")
+    assert(Porter.stemPredicate("running") == "run")
+    assert(Porter.stemPredicate("ran") == "ran")
+    assert(Porter.stemPredicate("serves") == "serv")
+    assert(Porter.stemPredicate("serving") == "serv")
+    assert(Porter.stemPredicate("served") == "serv")
+    assert(Porter.stemPredicate("graduates") == "graduat")
+    assert(Porter.stemPredicate("graduating") == "graduat")
+    assert(Porter.stemPredicate("graduated") == "graduat")
+    assert(Porter.stemPredicate("birthdate") == "birthdat")
+    assert(Porter.stemPredicate("almamater") == "almamat")
+    assert(Porter.stemPredicate("cityserved") == "cityserv")
+    // camelCase predicates are lowercased before stemming
+    // (normalize.rs:56 — so the camel-split branch is dead code)
+    assert(Porter.stemPredicate("birthDate") == "birthdat")
+    assert(Porter.stemPredicate("alumniOf") == "alumniof")
+    assert(Porter.stemPredicate("location") == "locat")
+    assert(Porter.stemPredicate("worksFor") == "worksfor")
+    assert(Porter.stemPredicate("birthPlace") == "birthplac")
+  }
+
+  test("predicate dictionary (docred_evaluation.rs:200-222)") {
+    assert(PredDict.canonical("P19") == Porter.stemPredicate("birthPlace"))
+    assert(PredDict.canonical("P69") == "alumniof")
+    assert(PredDict.canonical("P17") == Porter.stemPredicate("addressCountry"))
+    assert(PredDict.canonical("P569") == "birthdat")
+    assert(PredDict.canonical("location") == "locat")
+  }
+
+  // --- chunking.rs:108-166 ---
+  test("chunking short text is a single identical chunk") {
+    val c = new Chunker(1000, 100)
+    val text = "This is a short document. It should not be chunked."
+    val chunks = c.chunk(text)
+    assert(chunks.length == 1)
+    assert(chunks(0).text == text)
+    assert(chunks(0).startOffset == 0)
+    assert(chunks(0).endOffset == text.length)
+  }
+
+  test("chunking long text splits at sentence boundaries") {
+    val c = new Chunker(100, 20)
+    val text = "This is sentence one. This is sentence two. This is sentence three. " +
+      "This is sentence four. This is sentence five. This is sentence six."
+    val chunks = c.chunk(text)
+    assert(chunks.length > 1)
+    assert(chunks.forall(_.text.length <= 100))
+    // every chunk ends at a sentence boundary and chunk 0 starts at 0
+    assert(chunks.forall(ch => ch.text.endsWith(".")))
+    assert(chunks(0).startOffset == 0)
+    // reference offset arithmetic: start_{i+1} = end_i - overlap
+    chunks.sliding(2).foreach {
+      case Vector(a, b) => assert(b.startOffset == math.max(0, a.endOffset - 20))
+      case _ => ()
+    }
+  }
+
+  test("needs_chunking / estimate_chunk_count (chunking.rs:151-165)") {
+    val c = new Chunker(100, 20)
+    assert(!c.needsChunking("Short text"))
+    assert(c.needsChunking("x" * 200))
+    assert(c.estimateChunkCount("Short") == 1)
+    assert(c.estimateChunkCount("x" * 100) == 1)
+    assert(c.estimateChunkCount("x" * 200) == 3)
+  }
+
+  // --- coref.rs:545-606 ---
+  test("pronoun classification (coref.rs:558-564)") {
+    assert(Coref.classifyPronoun("he").contains(Coref.Masculine))
+    assert(Coref.classifyPronoun("she").contains(Coref.Feminine))
+    assert(Coref.classifyPronoun("it").contains(Coref.Neutral))
+    assert(Coref.classifyPronoun("they").contains(Coref.Plural))
+    assert(Coref.classifyPronoun("the").isEmpty)
+    assert(Coref.classifyPronoun("He").contains(Coref.Masculine))
+  }
+
+  test("proper noun detection (coref.rs:567-572)") {
+    assert(Coref.isProperNounStart("John"))
+    assert(Coref.isProperNounStart("Microsoft"))
+    assert(!Coref.isProperNounStart("the"))
+    assert(!Coref.isProperNounStart("IBM")) // all caps excluded
+  }
+
+  test("rule-based coref He self-match quirk replicated (coref.rs:261-371)") {
+    // Sentence-initial "He" is itself scanned as an entity
+    // (is_proper_noun_start accepts it) and, being the LAST masculine-
+    // matching entity, self-resolves: He→He, a no-op. The reference test
+    // (coref.rs:590-605) only asserts contains("Dan Shalev") — trivially
+    // true via sentence 1 — so this IS the reference behavior.
+    val r = Coref.resolve("Dan Shalev founded Acme Corp. He served as CEO.", 2)
+    assert(r.resolvedText == "Dan Shalev founded Acme Corp. He served as CEO.")
+    assert(r.resolvedText.contains("Dan Shalev")) // the reference assertion
+    assert(r.mentionMap.nonEmpty)
+    assert(r.mentionMap.toMap.get("He").contains("He"))
+  }
+
+  test("coref It resolves to organization") {
+    val r = Coref.resolve("Dan Shalev founded Acme Corp. It is based in Austin.")
+    assert(r.resolvedText == "Dan Shalev founded Acme Corp. Acme Corp is based in Austin.")
+  }
+
+  test("coref max distance respected") {
+    val far = "Dan Shalev wrote code. One. Two. Three. Four. He slept."
+    val r = Coref.resolve(far, 3)
+    // 5 sentences between → beyond max_distance, unresolved
+    assert(r.resolvedText == far)
+  }
+
+  // --- validation.rs:326-337 ---
+  test("reference weak date/url checks") {
+    assert(Checks.isValidDate("1932-03-15"))
+    assert(!Checks.isValidDate("32/03/15"))
+    assert(Checks.isValidDate("abcd-ef-gh")) // weak on purpose — parity
+    assert(Checks.isValidUrl("https://x.org"))
+    assert(!Checks.isValidUrl("ftp://x.org"))
+  }
+
+  test("date normalization to ISO 8601 (test_cases.json goldens)") {
+    assert(Dates.findIso("the 15th of March 1932").contains("1932-03-15"))
+    assert(Dates.findIso("March 15, 1932").contains("1932-03-15"))
+    assert(Dates.findIso("15 March 1932").contains("1932-03-15"))
+    assert(Dates.findIso("born on 1932-03-15 in Texas").contains("1932-03-15"))
+    assert(Dates.findIso("no date here").isEmpty)
+  }
+
+  test("jaro-winkler sanity") {
+    assert(Jaro.jaroWinkler("acme corp", "acme corp") == 1.0)
+    assert(Jaro.jaroWinkler("", "") == 1.0)
+    assert(Jaro.jaroWinkler("abc", "") == 0.0)
+    val s = Jaro.jaroWinkler("martha", "marhta")
+    assert(math.abs(s - 0.9611111111) < 1e-6) // classic published value
+    assert(Jaro.jaroWinkler("acme corporation", "acme corp") > 0.8)
+  }
+
+  // --- test_cases.json end-to-end kernel goldens ---
+  test("relation extraction matches test_cases.json") {
+    // case 1: astronaut_birthdate_1
+    val r1 = Relations.extract("Alan Bean was born on the 15th of March 1932.")
+    assert(r1.map(t => (Slug.slug(t.subj), PredDict.canonical(t.pred), t.obj)) ==
+      Vector(("alan_bean", "birthdat", "1932-03-15")))
+    // case 2: astronaut_education_1
+    val r2 = Relations.extract("Alan Bean graduated from UT Austin in 1955 with a B.S.")
+    assert(r2.map(t => (Slug.slug(t.subj), PredDict.canonical(t.pred), t.obj)) ==
+      Vector(("alan_bean", "alumniof", "UT Austin")))
+    // case 3: airport_cityserved_1
+    val r3 = Relations.extract("Aarhus Airport serves the city of Aarhus, Denmark.")
+    assert(r3.map(t => (Slug.slug(t.subj), PredDict.canonical(t.pred), t.obj)) ==
+      Vector(("aarhus_airport", "locat", "Aarhus")))
+  }
+
+  test("relation direction rule: founded → (Person, worksFor, Org)") {
+    val r = Relations.extract("Steve Jobs founded Apple Inc.")
+    assert(r.map(t => (Slug.slug(t.subj), PredDict.canonical(t.pred), t.obj)) ==
+      Vector(("steve_jobs", "worksfor", "Apple Inc")))
+  }
+
+  test("mention typing dictionary") {
+    assert(Relations.classify("Aarhus Airport") == "Airport")
+    assert(Relations.classify("Stanford University") == "EducationalOrganization")
+    assert(Relations.classify("Acme Corp") == "Organization")
+    assert(Relations.classify("Denmark") == "Place")
+    assert(Relations.classify("Alan Bean") == "Person")
+  }
+
+  test("html render/extract round-trip is byte-identical") {
+    val texts = Seq(
+      "Alan Bean was born on the 15th of March 1932. He graduated from UT Austin.",
+      "Para one with & ampersand and <angle> brackets.\n\nPara two.",
+      "Single paragraph, no tricks.")
+    texts.foreach { t =>
+      assert(HtmlText.extract(HtmlText.render("Title X", t, "en")) == t)
+    }
+  }
+
+  test("heuristic triple filter (docred_evaluation.rs:330-358)") {
+    assert(Relations.likelyIncorrect("founder"))
+    assert(Relations.likelyIncorrect("currentceo"))
+    assert(Relations.likelyIncorrect("alumni"))
+    assert(!Relations.likelyIncorrect("alumniof"))
+    assert(!Relations.likelyIncorrect("birthdat"))
+  }
+}
