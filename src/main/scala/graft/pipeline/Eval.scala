@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Evaluation harness (SURVEY.md §3.3): predicted vs gold triples via
+  * set-oriented joins — inner = TP, anti = FP, reversed anti = FN
+  * (J7/A8, tests/integration_tests.rs:34-67). */
+object Eval {
+
+  final case class Prf(tp: Long, fp: Long, fn: Long, precision: Double, recall: Double, f1: Double)
+
+  def prf(predicted: DataFrame, gold: Dataset[GoldTriple]): Prf = {
+    val p = predicted.select("url", "subj", "pred", "obj").distinct()
+    val g = gold.toDF.select("url", "subj", "pred", "obj").distinct()
+    val keys = Seq("url", "subj", "pred", "obj")
+    val tp = p.join(g, keys, "left_semi").count()
+    val fp = p.join(g, keys, "left_anti").count()
+    val fn = g.join(p, keys, "left_anti").count()
+    val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    val recall = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    val f1 = if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
+    Prf(tp, fp, fn, precision, recall, f1)
+  }
+
+  /** The same computation as one Dataset job (for queries()/bench). */
+  def prfDf(predicted: DataFrame, gold: DataFrame): DataFrame = {
+    val keys = Seq("url", "subj", "pred", "obj")
+    val p = predicted.select(keys.map(col): _*).distinct()
+    val g = gold.select(keys.map(col): _*).distinct()
+    val joined = p.withColumn("in_pred", lit(1))
+      .join(g.withColumn("in_gold", lit(1)), keys, "full_outer")
+    joined.agg(
+      sum(when(col("in_pred").isNotNull && col("in_gold").isNotNull, 1).otherwise(0)).as("tp"),
+      sum(when(col("in_pred").isNotNull && col("in_gold").isNull, 1).otherwise(0)).as("fp"),
+      sum(when(col("in_pred").isNull && col("in_gold").isNotNull, 1).otherwise(0)).as("fn"))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("recall", col("tp") / (col("tp") + col("fn")))
+      .withColumn("f1", lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel._
+
+/** The KG-construction pipeline: typed Dataset transforms, all narrow
+  * (no shuffle) until linking/dedup — Catalyst pipelines them into a
+  * single stage over the pages scan. Stage boundaries mirror SURVEY.md
+  * §1's data model; NLP steps are the sanctioned mapPartitions/flatMap
+  * carve-outs (SURVEY.md §2.10), everything relational stays in columns.
+  */
+object Kg {
+
+  /** HTML→text (P14). The byte-identity invariant
+    * `extract(html) == text` is asserted by tests, not recomputed here —
+    * we *use* the extracted text downstream, as the north rule demands. */
+  def extractText(pages: Dataset[Page]): Dataset[Doc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.filter(_.lang == "en").map(p => Doc(p.url, HtmlText.extract(p.html), p.lang))
+  }
+
+  /** Chunking (T1): short docs bypass the chunker entirely
+    * (P2 gate, extractor.rs:571-583). flatMap = the UDTF shape. */
+  def chunk(docs: Dataset[Doc]): Dataset[ChunkRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      if (Chunker.estimateTokens(d.text) < Chunker.chunkThresholdTokens)
+        Vector(ChunkRow(d.url, 0, d.text, 0L, d.text.length.toLong))
+      else
+        Chunker.default.chunk(d.text).map(c =>
+          ChunkRow(d.url, c.id, c.text, c.startOffset, c.endOffset))
+    }
+  }
+
+  /** Coref (Stage 0): per-chunk, sequential string semantics stay inside
+    * the row function (SURVEY.md §2.5 W3/W4). */
+  def resolve(chunks: Dataset[ChunkRow]): Dataset[ResolvedRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.map { c =>
+      val r = Coref.resolve(c.text)
+      ResolvedRow(c.url, c.chunk_id, r.resolvedText, r.mentionMap.toMap)
+    }
+  }
+
+  /** Mention detection (T3 analogue) over resolved text. */
+  def mentions(resolved: Dataset[ResolvedRow]): Dataset[MentionRow] = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    resolved.flatMap { r =>
+      Relations.mentions(r.resolved_text).map(m =>
+        MentionRow(r.url, r.chunk_id, m.surface, m.entityType, m.start, m.end, m.confidence))
+    }
+  }
+
+  /** Relation extraction (Stage 2 analogue) + normalization (P4-P6) +
+    * the heuristic filter (P12): subj slugified, pred
+    * dictionary-canonicalized + stemmed, obj verbatim — the triple
+    * conventions of tests/fixtures/test_cases.json. Per-row failures are
+    * tolerated (O4): a throwing row yields no triples, never fails the
+    * job. */
+  def triples(resolved: Dataset[ResolvedRow]): Dataset[TripleRow] = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    resolved.flatMap { r =>
+      try {
+        Relations.extract(r.resolved_text).iterator
+          .map { rel =>
+            TripleRow(
+              url = r.url,
+              subj = Slug.slug(rel.subj),
+              pred = PredDict.canonical(rel.pred),
+              obj = rel.obj,
+              subj_surface = rel.subj,
+              obj_is_entity = rel.objIsEntity,
+              subj_type = rel.subjType,
+              obj_type = rel.objType,
+              chunk_id = r.chunk_id,
+              sent_idx = rel.sentIdx,
+              confidence = rel.confidence,
+              method = "rule-based")
+          }
+          .filterNot(t => Relations.likelyIncorrect(t.pred))
+      } catch { case _: Exception => Iterator.empty }
+    }
+  }
+
+  /** A6 dedup: one row per (url, subj, pred, obj); deterministic
+    * min_by tie-break on (chunk_id, sent_idx) — "first mention wins"
+    * (knowledge_buffer.rs:40-51 semantics), never a nondeterministic
+    * first(). */
+  def dedup(t: Dataset[TripleRow]): Dataset[TripleRow] = {
+    val spark = t.sparkSession
+    import spark.implicits._
+    t.groupByKey(r => (r.url, r.subj, r.pred, r.obj))
+      .reduceGroups((a, b) =>
+        if (a.chunk_id < b.chunk_id ||
+          (a.chunk_id == b.chunk_id && a.sent_idx <= b.sent_idx)) a else b)
+      .map(_._2)
+  }
+
+  /** Full fused path: pages → deduped normalized triples. */
+  def pagesToTriples(pages: Dataset[Page]): Dataset[TripleRow] =
+    dedup(triples(resolve(chunk(extractText(pages)))))
+
+  /** Per-document entity consolidation (A1-A4): first-wins entity table
+    * via min_by over (chunk_id, start) — replaces the reference's
+    * sequential KnowledgeBuffer (O3 re-architecture, SURVEY.md §7.3#2). */
+  def entityTable(mentions: Dataset[MentionRow]): DataFrame = {
+    mentions
+      .groupBy(col("url"), lower(col("surface")).as("name_lc"))
+      .agg(
+        min_by(struct(col("surface"), col("entity_type"), col("chunk_id"), col("start")),
+          struct(col("chunk_id"), col("start"))).as("first"),
+        count(lit(1)).as("n_mentions"))
+      .select(
+        col("url"), col("name_lc"),
+        col("first.surface").as("canonical_name"),
+        col("first.entity_type").as("entity_type"),
+        col("first.chunk_id").as("first_chunk_id"),
+        col("first.start").as("first_mention_offset"),
+        col("n_mentions"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kernel.Jaro
+
+/** Entity linking (Stage 3) as set-oriented joins — the reference's
+  * per-name lookup loop (entity_linker.rs:486-499) becomes ONE join of
+  * distinct mentions against the KB (SURVEY.md §2.3 J1-J5).
+  *
+  * Three physical strategies, same semantics:
+  *  - broadcast: KB fits in memory → broadcast hash join, zero shuffle
+  *    of the big side (the analogue of the reference's 1h response cache,
+  *    entity_linker.rs:505-510);
+  *  - salted shuffle: huge KB + Zipfian head mentions → explicit salt on
+  *    the mention key, KB side replicated per salt (north rule; AQE skew
+  *    join can't fire on broadcast joins, so this is the shuffle-path
+  *    insurance);
+  *  - fuzzy: token-blocked equi-join + Jaro-Winkler filter (J2) — never
+  *    a cartesian.
+  *
+  * Scoring replicates entity_linker.rs:367-401: exact (case-insensitive)
+  * match ⇒ 0.95; fuzzy ⇒ JW similarity, kept if ≥ fuzzyThreshold (0.8);
+  * retain ≥ confidenceThreshold (0.7); top-1 per (url, surface) by
+  * (confidence desc, uri asc) — the uri tie-break is our determinism
+  * pin (the reference's sort leaves ties nondeterministic,
+  * SURVEY.md §7.0).
+  */
+object Linking {
+
+  val exactConfidence = 0.95 // entity_linker.rs:369
+  val fuzzyThreshold = 0.8 // entity_linker.rs config default
+  val confidenceThreshold = 0.7
+
+  private val jwUdf = udf((a: String, b: String) => Jaro.jaroWinkler(a, b))
+
+  /** Distinct (url, surface, surface_lc) mention keys — dedup before the
+    * join so each document's repeated mentions hit the KB once. */
+  def mentionKeys(mentions: Dataset[MentionRow]): DataFrame =
+    mentions.select(col("url"), col("surface")).distinct()
+      .withColumn("surface_lc", lower(col("surface")))
+
+  private def top1(cands: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url"), col("surface"))
+      .orderBy(col("confidence").desc, col("uri").asc)
+    cands
+      .filter(col("confidence") >= confidenceThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** J1 exact linking, broadcast KB. */
+  def linkBroadcast(mentions: Dataset[MentionRow], kb: Dataset[KbEntry]): DataFrame = {
+    val cands = mentionKeys(mentions)
+      .join(broadcast(kb.toDF), col("surface_lc") === col("label_lc"))
+      .withColumn("confidence", lit(exactConfidence))
+      .select("url", "surface", "uri", "confidence")
+    top1(cands)
+  }
+
+  /** J1 exact linking via salted shuffle join: mentions get a
+    * deterministic salt from the url hash; the KB side is replicated
+    * across all salt values (explode), so one hot label key becomes S
+    * shuffle keys. Use when the KB is too large to broadcast. */
+  def linkSalted(mentions: Dataset[MentionRow], kb: Dataset[KbEntry], salts: Int = 16): DataFrame = {
+    val m = mentionKeys(mentions)
+      .withColumn("salt", pmod(hash(col("url")), lit(salts)))
+    val k = kb.toDF
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val cands = m.join(k,
+        m("surface_lc") === k("label_lc") && m("salt") === k("salt"))
+      .withColumn("confidence", lit(exactConfidence))
+      .select(m("url"), m("surface"), k("uri"), col("confidence"))
+    top1(cands)
+  }
+
+  /** J2 fuzzy linking: block on the first token of the lowercased
+    * surface/label (explode-free: both sides derive the same key), then
+    * Jaro-Winkler ≥ fuzzyThreshold as confidence. */
+  def linkFuzzy(mentions: Dataset[MentionRow], kb: Dataset[KbEntry]): DataFrame = {
+    val m = mentionKeys(mentions)
+      .withColumn("block", split(col("surface_lc"), " ").getItem(0))
+    val k = kb.toDF
+      .withColumn("block", split(col("label_lc"), " ").getItem(0))
+    val cands = m.join(broadcast(k), "block")
+      .withColumn("confidence", jwUdf(col("label_lc"), col("surface_lc")))
+      .filter(col("confidence") >= fuzzyThreshold)
+      .select(col("url"), col("surface"), col("uri"), col("confidence"))
+    top1(cands)
+  }
+
+  /** Exact-first, fuzzy-fallback linking (the reference tries exact then
+    * fuzzy per its use_fuzzy_matching config; we take exact wins and only
+    * fuzzy-match the leftovers — same top-1 result, less work). */
+  def link(mentions: Dataset[MentionRow], kb: Dataset[KbEntry]): DataFrame = {
+    val exact = linkBroadcast(mentions, kb)
+    val misses = mentionKeys(mentions)
+      .join(exact.select("url", "surface"), Seq("url", "surface"), "left_anti")
+    val fuzzy = {
+      val k = kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))
+      val m = misses.withColumn("block", split(col("surface_lc"), " ").getItem(0))
+      val cands = m.join(broadcast(k), "block")
+        .withColumn("confidence", jwUdf(col("label_lc"), col("surface_lc")))
+        .filter(col("confidence") >= fuzzyThreshold)
+        .select(col("url"), col("surface"), col("uri"), col("confidence"))
+      top1(cands)
+    }
+    exact.unionByName(fuzzy)
+  }
+
+  /** J6 enrichment: triples join linked subjects/objects; unlinked
+    * entities fall back to deterministically minted IRIs
+    * (slug + sha1-prefix, SURVEY.md §7.3#4) — done at materialization. */
+  def enrich(triples: Dataset[TripleRow], linked: DataFrame): DataFrame = {
+    val l = linked
+    triples.toDF
+      .join(l.select(col("url"), col("surface").as("subj_surface"),
+        col("uri").as("subj_kb_uri")), Seq("url", "subj_surface"), "left")
+      .join(l.select(col("url"), col("surface").as("obj"),
+        col("uri").as("obj_kb_uri")), Seq("url", "obj"), "left")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.kernel.HtmlText
+
+/** End-to-end pipeline gates on the synthesized corpus (SURVEY.md §7.1
+  * M2/M3/M6): byte-identity, triple P/R ≥ 0.95 vs gold, linking parity
+  * between broadcast and salted strategies. */
+class PipelineSpec extends SparkTestBase {
+
+  private val N = 400L
+
+  test("byte-identity: extract_text(html) == text per url (north rule)") {
+    import spark.implicits._
+    val bad = Corpus.pages(spark, N, 8)
+      .map(p => (p.url, HtmlText.extract(p.html) == p.text))
+      .filter(!_._2).count()
+    assert(bad == 0L)
+  }
+
+  test("corpus generation is deterministic across invocations") {
+    import spark.implicits._
+    val a = Corpus.pages(spark, 50, 4).map(p => (p.url, p.text, p.warc_ts.getTime)).collect().sortBy(_._1)
+    val b = Corpus.pages(spark, 50, 2).map(p => (p.url, p.text, p.warc_ts.getTime)).collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("pipeline triples match gold at P/R >= 0.95 (target 1.0)") {
+    val pages = Corpus.pages(spark, N, 8)
+    val predicted = Kg.pagesToTriples(pages).toDF
+    val gold = Corpus.gold(spark, N, 8)
+    val m = Eval.prf(predicted, gold)
+    info(s"tp=${m.tp} fp=${m.fp} fn=${m.fn} p=${m.precision} r=${m.recall} f1=${m.f1}")
+    assert(m.tp > 0)
+    assert(m.precision >= 0.95, s"precision ${m.precision}")
+    assert(m.recall >= 0.95, s"recall ${m.recall}")
+  }
+
+  test("non-english pages are filtered (no gold, no triples)") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, N, 8)
+    val nonEnUrls = pages.filter(_.lang != "en").map(_.url).collect().toSet
+    assert(nonEnUrls.nonEmpty) // ~5% of corpus
+    val t = Kg.pagesToTriples(pages)
+    assert(t.filter(r => nonEnUrls.contains(r.url)).count() == 0L)
+  }
+
+  test("linking: salted shuffle join == broadcast join result") {
+    val pages = Corpus.pages(spark, 100, 4)
+    val ments = Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(pages))))
+    val kb = Corpus.kb(spark, nDistractors = 500)
+    val a = Linking.linkBroadcast(ments, kb).orderBy("url", "surface")
+      .collect().map(_.toSeq).toSeq
+    val b = Linking.linkSalted(ments, kb, salts = 8).orderBy("url", "surface")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("linking covers most triple subjects with KB uris; rest minted deterministically") {
+    val pages = Corpus.pages(spark, 200, 4)
+    val resolved = Kg.resolve(Kg.chunk(Kg.extractText(pages)))
+    val trip = Kg.dedup(Kg.triples(resolved))
+    val ments = Kg.mentions(resolved)
+    val kb = Corpus.kb(spark, nDistractors = 500)
+    val linked = Linking.link(ments, kb)
+    val enriched = Linking.enrich(trip, linked)
+    val (nodes, edges) = Graph.materialize(enriched)
+    val total = enriched.count()
+    val kbLinked = enriched.filter(enriched("subj_kb_uri").isNotNull).count()
+    info(s"triples=$total subjKbLinked=$kbLinked nodes=${nodes.count()} edges=${edges.count()}")
+    assert(kbLinked.toDouble / total > 0.95) // world entities are all in the KB
+    assert(nodes.count() > 0 && edges.count() > 0)
+    // every node IRI unique
+    assert(nodes.count() == nodes.select("iri").distinct().count())
+  }
+
+  test("coref feeds triples: It-pages yield foundedBy facts") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, N, 8)
+    // gold foundedBy triples exist and are recovered (they only survive
+    // via coref resolution on ~half the org pages)
+    val gold = Corpus.gold(spark, N, 8).filter(_.pred == "foundedbi")
+    assert(gold.count() > 0)
+    val got = Kg.pagesToTriples(pages).filter(_.pred == "foundedbi")
+    assert(got.count() >= gold.count() * 95 / 100)
+  }
+}
