@@ -23,8 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// GC: ParallelGC + fixed pre-touched heap measured ~25% faster than
+// default G1/8g for the string-heavy NLP stages at 32 threads; very
+// large heaps (48g+) hit an OS page-fault pathology on this VM and are
+// 5-7x SLOWER — keep the heap moderate.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+UseParallelGC", "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split(" ").toSeq)

@@ -48,13 +48,12 @@ object SparkEntry {
       Eval.prfDf(Kg.pagesToTriples(Corpus.pages(s, n)).toDF, Corpus.gold(s, n).toDF)
     }),
     "kg_nodes_edges" -> ((s, dir) => {
-      val n = pagesFor(dir)
-      val resolved = Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))
-      val trip = Kg.dedup(Kg.triples(resolved))
-      val linked = Linking.link(Kg.mentions(resolved), Corpus.kb(s))
-      val (nodes, edges) = Graph.materialize(Linking.enrich(trip, linked))
-      nodes.agg(count(lit(1)).as("n_nodes"))
+      val (trip, nodes, edges) = Pipeline.graph(Corpus.pages(s, pagesFor(dir)), Corpus.kb(s))
+      val out = nodes.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(trip.toDF.agg(count(lit(1)).as("n_triples"),
+          sum(when(col("subj_type") =!= "", 1).otherwise(0)).as("n_typed")))
+      out
     }),
     "kg_entity_table" -> ((s, dir) => {
       val n = pagesFor(dir)
@@ -111,6 +110,79 @@ object SparkEntry {
     "q_chunk_estimate" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), chunkCountUdf(col("n_chars")).as("est_chunks"))
+    }),
+
+    // ---------------- training-data pipeline ops ----------------
+    // exact dedup by md5 fingerprint of normalized text
+    "q_dedup_exact" -> ((s, dir) => {
+      ops.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    // MinHash+LSH near-dup candidate pairs (no SQL oracle: verified by
+    // OpsSpec recall test against planted near-duplicates)
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      ops.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    // SimHash 64-bit signatures (rows-only; hamming property in OpsSpec)
+    "q_dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), ops.Dedup.simhash(col("text")).as("simhash"))
+    }),
+    // n-gram (token) Jaccard over a deterministic candidate pairing
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+      val a = d.select(col("doc_id").as("id1"), col("text").as("t1"))
+      val b = d.select(col("doc_id").as("id2"), col("text").as("t2"))
+      a.join(b, col("id2") === col("id1") + 250)
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(array_distinct(split(col("t1"), " ")),
+            array_distinct(split(col("t2"), " ")))).cast("double") /
+            size(array_union(array_distinct(split(col("t1"), " ")),
+              array_distinct(split(col("t2"), " ")))), 4).as("jaccard"))
+    }),
+    // embedding-cosine near-dup pairs via hyperplane LSH buckets
+    // threshold 0.2: the driver's embeddings are random vectors (true
+    // near-dups don't exist), so this exercises the bucketed-pair path;
+    // planted-duplicate recall is tested in OpsSpec at 0.95.
+    "q_dedup_embedding" -> ((s, dir) => {
+      ops.Similarity.nearDupPairs(t(s, dir, "embeddings"), dim = 64, nBits = 8, threshold = 0.2)
+    }),
+    // brute-force cosine top-k (ANN correctness baseline)
+    "q_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ops.Similarity.bruteForceTopK(q, e, 5)
+    }),
+    // LSH-bucketed ANN (scale path; recall vs brute measured in OpsSpec)
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ops.Similarity.lshTopK(q, e, dim = 64, nBits = 4, k = 5)
+    }),
+    // text analysis: token counts + quality features
+    "q_text_quality" -> ((s, dir) => {
+      ops.TextAnalysis.qualityFeatures(
+        t(s, dir, "documents").filter(length(col("text")) > 0), col("text"))
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len")
+    }),
+    // language-ID heuristic (argmax of stopword hits, deterministic ties)
+    "q_lang_id" -> ((s, dir) => {
+      ops.TextAnalysis.langId(
+        t(s, dir, "documents").filter(length(col("text")) > 0), col("text"))
+        .select("doc_id", "pred_lang", "lang_score")
+    }),
+    // multimodal: stubbed decode → resize metadata (real Spark plumbing)
+    "q_multimodal_resize" -> ((s, dir) => {
+      val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 5000L else 1000L
+      ops.Multimodal.resizeMeta(ops.Multimodal.decode(ops.Multimodal.images(s, n)), 256)
+        .select("img_id", "width", "height", "channels", "out_width", "out_height", "label")
+    }),
+    // KG validation stage (stage 4): per-entity violations + confidence
+    "kg_validate" -> ((s, dir) => {
+      val trip = Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir)))
+      Validate.validateEntities(trip.toDF)
+        .select(col("url"), col("subj"), size(col("violations")).as("n_violations"),
+          round(col("confidence"), 4).as("confidence"), col("valid"))
     })
   )
 
@@ -148,6 +220,68 @@ object SparkEntry {
       """SELECT doc_id,
          CASE WHEN n_chars <= 3500 THEN 1
               ELSE (n_chars + 3100 - 1) // 3100 END AS est_chunks
-         FROM documents"""
+         FROM documents""",
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+         (row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                             ORDER BY doc_id ASC) = 1) AS keep
+         FROM documents""",
+    "q_jaccard_pairs" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+         round(CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),
+                                       list_distinct(string_split(b.text,' ')))) AS DOUBLE)
+           / len(list_distinct(list_concat(string_split(a.text,' '),
+                                           string_split(b.text,' ')))), 4) AS jaccard
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+         WHERE length(a.text) > 0 AND length(b.text) > 0""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               / length(text), 4) AS punct_ratio,
+         round((
+           (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) / 4
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) / 2
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ' '))) / 3
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ' '))) / 4
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' in ', ' '))) / 3
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ' '))) / 3
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' is ', ' '))) / 3
+         ) * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len
+         FROM documents WHERE length(text) > 0""",
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+           (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) // 4
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ' '))) // 4
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ' '))) // 3 AS en,
+           (length(' '||text||' ') - length(replace(' '||text||' ', ' el ', ' '))) // 3
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' la ', ' '))) // 3
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' de ', ' '))) // 3 AS es,
+           (length(' '||text||' ') - length(replace(' '||text||' ', ' der ', ' '))) // 4
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' und ', ' '))) // 4
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' die ', ' '))) // 4 AS de,
+           (length(' '||text||' ') - length(replace(' '||text||' ', ' le ', ' '))) // 3
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' et ', ' '))) // 3
+         + (length(' '||text||' ') - length(replace(' '||text||' ', ' les ', ' '))) // 4 AS fr
+         FROM documents WHERE length(text) > 0)
+         SELECT doc_id,
+           CASE WHEN fr >= es AND fr >= en AND fr >= de THEN 'fr'
+                WHEN es >= en AND es >= de THEN 'es'
+                WHEN en >= de THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           greatest(en, es, de, fr) AS lang_score
+         FROM s""",
+    "q_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                    FROM embeddings WHERE vec_id < 3)
+         SELECT qid, vec_id, rank, cos_sim FROM (
+           SELECT q.qid, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC,
+                        e.vec_id ASC) AS rank,
+             round(list_cosine_similarity(e.embedding, q.qvec), 3) AS cos_sim
+           FROM embeddings e, q) WHERE rank <= 5"""
   )
 }

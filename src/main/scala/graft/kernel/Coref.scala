@@ -65,7 +65,7 @@ object Coref {
   /** coref.rs:522-543. */
   def matchesPronoun(entity: String, p: PronounType): Boolean = p match {
     case Masculine | Feminine =>
-      entity.split("\\s+").count(_.nonEmpty) <= 3 &&
+      Coref.words(entity).length <= 3 &&
         !entity.toLowerCase.contains(" and ")
     case Neutral =>
       entity.contains("Corp") || entity.contains("Inc") ||
@@ -75,13 +75,17 @@ object Coref {
       entity.contains(" and ") || entity.endsWith("s")
   }
 
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  private[kernel] def words(s: String): Array[String] =
+    WS.split(s).filter(_.nonEmpty)
+
   def resolve(text: String, maxDistance: Int = defaultMaxDistance): CorefOut = {
     val sentences = text.split('.').filter(_.trim.nonEmpty)
 
     // (entityText, sentIdx) in scan order (offsets unused downstream).
     val entities = Vector.newBuilder[(String, Int)]
     sentences.zipWithIndex.foreach { case (sentence, sentIdx) =>
-      val words = sentence.split("\\s+").filter(_.nonEmpty)
+      val words = Coref.words(sentence)
       var i = 0
       while (i < words.length) {
         if (isProperNounStart(words(i))) {
@@ -102,7 +106,7 @@ object Coref {
 
     sentences.zipWithIndex.foreach { case (sentence, sentIdx) =>
       val sentStart = math.max(0, text.indexOf(sentence)) // find-first quirk
-      sentence.split("\\s+").filter(_.nonEmpty).foreach { word =>
+      Coref.words(sentence).foreach { word =>
         classifyPronoun(word).foreach { p =>
           val candidate = ents.filter { case (_, es) =>
             es <= sentIdx && (sentIdx - es) <= maxDistance

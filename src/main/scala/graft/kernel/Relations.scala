@@ -63,7 +63,7 @@ object Relations {
     val sentences = text.split('.').filter(_.trim.nonEmpty)
     sentences.foreach { sentence =>
       val sentStart = math.max(0, text.indexOf(sentence))
-      val words = sentence.split("\\s+").filter(_.nonEmpty)
+      val words = Coref.words(sentence)
       var i = 0
       while (i < words.length) {
         if (capWord(words(i)) && Coref.classifyPronoun(stripPunct(words(i))).isEmpty) {
@@ -102,7 +102,7 @@ object Relations {
     * comma — "Aarhus, Denmark" → "Aarhus". */
   private[kernel] def entityAtStart(phrase: String): Option[String] = {
     val beforeComma = phrase.split(",")(0)
-    val words = beforeComma.trim.split("\\s+").filter(_.nonEmpty)
+    val words = Coref.words(beforeComma.trim)
     if (words.isEmpty || !capWord(words(0))) return None
     val ew = Vector.newBuilder[String]
     ew += stripPunct(words(0))
@@ -115,7 +115,7 @@ object Relations {
 
   /** Trailing capitalized entity of a phrase (subject side). */
   private[kernel] def entityAtEnd(phrase: String): Option[String] = {
-    val words = phrase.trim.split("\\s+").filter(_.nonEmpty)
+    val words = Coref.words(phrase.trim)
     if (words.isEmpty) return None
     val i0 = words.length - 1
     if (!capWord(words(i0))) return None
@@ -142,6 +142,9 @@ object Relations {
     ("founded", "worksFor", false) // direction rule (extractor.rs:34)
   )
 
+  private val paddedPatterns: Seq[(String, String, Boolean)] =
+    patterns.map { case (vp, p, d) => (" " + vp + " ", p, d) }
+
   /** Extract relations from resolved text, sentence by sentence. Each
     * sentence yields at most one relation (first matching pattern),
     * mirroring the reference's one-fact-per-simple-sentence fixtures. */
@@ -150,11 +153,11 @@ object Relations {
     val out = Vector.newBuilder[RawRelation]
     sentences.zipWithIndex.foreach { case (sentence0, sentIdx) =>
       val sentence = sentence0.trim
-      patterns.find { case (vp, _, _) => sentence.contains(" " + vp + " ") }.foreach {
+      paddedPatterns.find { case (vp, _, _) => sentence.contains(vp) }.foreach {
         case (vp, prop, isDate) =>
-          val at = sentence.indexOf(" " + vp + " ")
+          val at = sentence.indexOf(vp)
           val lhs = sentence.substring(0, at)
-          val rhs = sentence.substring(at + vp.length + 2)
+          val rhs = sentence.substring(at + vp.length)
           val subj = entityAtEnd(lhs)
           val obj: Option[(String, Boolean, String)] =
             if (isDate) Dates.findIso(rhs).map(d => (d, false, ""))

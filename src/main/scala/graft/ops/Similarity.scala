@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`), pure higher-order Column functions (zip_with /
+  * aggregate — codegen'd, no UDF).
+  *
+  * Scale path: brute-force is the correctness baseline (O(N·Q));
+  * the LSH variant buckets by random-hyperplane sign bits so each query
+  * only scans its bucket — the standard billion-vector recipe (the
+  * hyperplanes are seeded constants, so both sides of the bucket join
+  * compute identical keys scan-side, and the shuffle is bucket-sized).
+  */
+object Similarity {
+
+  /** dot(a,b) as a Column over two float-array columns (double math). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * queries: (qid, qvec); corpus: (vec_id, embedding).
+    * Deterministic tie-break (score desc, vec_id asc). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
+  }
+
+  /** Seeded random hyperplanes: nBits deterministic pseudo-random unit
+    * directions over `dim` dimensions (splitmix-flavored constants). */
+  private def planeComponent(bit: Int, d: Int): Double = {
+    var z = (bit.toLong * 0x9e3779b97f4a7c15L) ^ (d.toLong * 0xbf58476d1ce4e5b9L) ^ 0x2545f4914f6cdd1dL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-bit LSH bucket id (0..2^nBits-1) for an embedding column. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    (0 until nBits).map { bit =>
+      val proj = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(bit, d))
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucketed ANN: each query scans only its LSH bucket (plus no
+    * multiprobe in this baseline — recall traded for a bucket-local
+    * scan; raise nBits for smaller buckets at lower recall). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, nBits: Int, k: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
+    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), dim, nBits))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets:
+    * pairs in the same bucket with cosine ≥ threshold (id1 < id2). */
+  def nearDupPairs(corpus: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
+    val a = cb.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = cb.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim"))
+  }
+}

@@ -171,25 +171,27 @@ object Corpus {
     val isLong = rng.nextDouble() < 0.10
     val nonEn = rng.nextDouble() < 0.05
 
+    // Base pages carry 2-3 entity sections (~6-12 sentences, ~0.7-1.5 KB
+    // like a short web article); long pages (10%) carry 12+ (~4-6 KB).
     val (facts, slugBase): (Vector[Fact], String) =
       if (kindRoll < 0.55) {
         val p = rng.nextInt(nPersons)
-        val fs =
-          if (isLong)
-            (0 until 12).flatMap(k => personFacts((p + k * 37) % nPersons, rng)).toVector
-          else personFacts(p, rng)
+        val nSections = if (isLong) 12 else 2 + rng.nextInt(2)
+        val fs = (0 until nSections)
+          .flatMap(k => personFacts((p + k * 37) % nPersons, rng)).toVector
         (fs, Slug.slug(personName(p)))
       } else if (kindRoll < 0.85) {
         val o = zipfOrg(rng)
+        val nSections = if (isLong) 10 else 2 + rng.nextInt(2)
         val fs0 = orgFacts(o, rng, useCoref = rng.nextDouble() < 0.5)
-        val fs =
-          if (isLong)
-            fs0 ++ (1 until 10).flatMap(k => orgFacts((o + k * 11) % nOrgs, rng, useCoref = false))
-          else fs0
+        val fs = fs0 ++ (1 until nSections)
+          .flatMap(k => orgFacts((o + k * 11) % nOrgs, rng, useCoref = false))
         (fs, Slug.slug(orgName(o)))
       } else {
         val a = rng.nextInt(nCities)
-        (airportFacts(a, rng), Slug.slug(airportName(a)))
+        val fs = airportFacts(a, rng) ++
+          personFacts(rng.nextInt(nPersons), rng)
+        (fs, Slug.slug(airportName(a)))
       }
 
     val url = s"https://$domain/$slugBase-$id"

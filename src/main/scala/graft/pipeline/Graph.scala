@@ -17,7 +17,6 @@ object Graph {
   def materialize(enriched: DataFrame): (DataFrame, DataFrame) = {
     val withIris = enriched
       .withColumn("subj_iri", coalesce(col("subj_kb_uri"), mintIri(col("subj"), col("subj_surface"))))
-      .withColumn("obj_slug", when(col("obj_is_entity"), lower(regexp_replace(col("obj"), "[^a-zA-Z0-9]+", "_"))))
       .withColumn("obj_iri",
         when(col("obj_is_entity"), coalesce(col("obj_kb_uri"), mintIri(col("obj_slug"), col("obj"))))
           .otherwise(lit(null)))

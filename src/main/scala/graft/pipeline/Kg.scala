@@ -74,6 +74,7 @@ object Kg {
               subj = Slug.slug(rel.subj),
               pred = PredDict.canonical(rel.pred),
               obj = rel.obj,
+              obj_slug = if (rel.objIsEntity) Slug.slug(rel.obj) else "",
               subj_surface = rel.subj,
               obj_is_entity = rel.objIsEntity,
               subj_type = rel.subjType,
@@ -95,16 +96,54 @@ object Kg {
   def dedup(t: Dataset[TripleRow]): Dataset[TripleRow] = {
     val spark = t.sparkSession
     import spark.implicits._
-    t.groupByKey(r => (r.url, r.subj, r.pred, r.obj))
-      .reduceGroups((a, b) =>
-        if (a.chunk_id < b.chunk_id ||
-          (a.chunk_id == b.chunk_id && a.sent_idx <= b.sent_idx)) a else b)
-      .map(_._2)
+    // Columnar min_by (partial + final hash agg, codegen) — NOT typed
+    // reduceGroups, which would serialize whole case-class objects
+    // through the shuffle; NOT dropDuplicates, whose surviving row is
+    // nondeterministic.
+    val rest = struct(col("obj_slug"), col("subj_surface"), col("obj_is_entity"),
+      col("subj_type"), col("obj_type"), col("chunk_id"), col("sent_idx"),
+      col("confidence"), col("method"))
+    t.toDF
+      .groupBy(col("url"), col("subj"), col("pred"), col("obj"))
+      .agg(min_by(rest, struct(col("chunk_id"), col("sent_idx"))).as("r"))
+      .select(col("url"), col("subj"), col("pred"), col("obj"),
+        col("r.obj_slug"), col("r.subj_surface"), col("r.obj_is_entity"),
+        col("r.subj_type"), col("r.obj_type"), col("r.chunk_id"),
+        col("r.sent_idx"), col("r.confidence"), col("r.method"))
+      .as[TripleRow]
   }
 
-  /** Full fused path: pages → deduped normalized triples. */
+  /** One fused flatMap Page→TripleRow for the flagship path: identical
+    * semantics to extractText∘chunk∘resolve∘triples (asserted by
+    * PipelineSpec) but a single object-level pass — no intermediate
+    * Doc/ChunkRow/ResolvedRow encoding between stages. */
+  def extractTriplesFused(pages: Dataset[Page]): Dataset[TripleRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.lang != "en") Iterator.empty
+      else try {
+        val text = HtmlText.extract(p.html)
+        val chunks =
+          if (Chunker.estimateTokens(text) < Chunker.chunkThresholdTokens)
+            Vector(Chunk(0, text, 0L, text.length.toLong))
+          else Chunker.default.chunk(text)
+        chunks.iterator.flatMap { c =>
+          val resolved = Coref.resolve(c.text).resolvedText
+          Relations.extract(resolved).iterator.map { rel =>
+            TripleRow(p.url, Slug.slug(rel.subj), PredDict.canonical(rel.pred),
+              rel.obj, if (rel.objIsEntity) Slug.slug(rel.obj) else "",
+              rel.subj, rel.objIsEntity, rel.subjType, rel.objType,
+              c.id, rel.sentIdx, rel.confidence, "rule-based")
+          }.filterNot(t => Relations.likelyIncorrect(t.pred))
+        }
+      } catch { case _: Exception => Iterator.empty } // O4 row tolerance
+    }
+  }
+
+  /** Full path: pages → deduped normalized triples. */
   def pagesToTriples(pages: Dataset[Page]): Dataset[TripleRow] =
-    dedup(triples(resolve(chunk(extractText(pages)))))
+    dedup(extractTriplesFused(pages))
 
   /** Per-document entity consolidation (A1-A4): first-wins entity table
     * via min_by over (chunk_id, start) — replaces the reference's

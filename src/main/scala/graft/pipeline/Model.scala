@@ -47,6 +47,7 @@ final case class TripleRow(
     subj: String, // slugified subject (normalize.rs:27-31 convention)
     pred: String, // dictionary-canonicalized + stemmed predicate
     obj: String, // verbatim object (nested-entity name or literal)
+    obj_slug: String, // kernel slug of obj when entity, "" for literals
     subj_surface: String,
     obj_is_entity: Boolean,
     subj_type: String,

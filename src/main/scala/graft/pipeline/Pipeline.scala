@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import graft.kernel.Jaro
+
+/** Flagship end-to-end pipeline, shaped for 100 TB:
+  *
+  *  1. ONE narrow NLP pass (extract→chunk→coref→extract relations) —
+  *     no shuffle, whole corpus scanned exactly once;
+  *  2. triple dedup — the first unavoidable shuffle, keyed
+  *     (url, subj, pred, obj);
+  *  3. linking over DISTINCT SURFACE STRINGS, not (url, surface):
+  *     link results depend only on the surface (the reference's
+  *     per-name lookup, entity_linker.rs:486-499, has no document
+  *     input), so the link table shrinks from O(docs×mentions) to
+  *     O(vocabulary) — Zipfian mention skew collapses into single rows
+  *     and the join-back is a broadcast;
+  *  4. graph dedup by IRI / edge key.
+  *
+  * Total shuffles: 3 fixed-size (dedup, nodes, edges) + vocabulary-sized
+  * linking; zero shuffle of raw text after step 1.
+  */
+object Pipeline {
+
+  private val jwUdf = udf((a: String, b: String) => Jaro.jaroWinkler(a, b))
+
+  /** Link a distinct-surface DataFrame (column `surface`) against the KB:
+    * exact (0.95) else blocked fuzzy JW (≥0.8), threshold 0.7, top-1 per
+    * surface by (confidence desc, uri asc). Returns (surface, uri,
+    * link_confidence). */
+  def linkSurfaces(surfaces: DataFrame, kb: Dataset[KbEntry]): DataFrame = {
+    val s = surfaces.withColumn("surface_lc", lower(col("surface")))
+    val exact = s.join(broadcast(kb.toDF), col("surface_lc") === col("label_lc"))
+      .select(col("surface"), col("uri"), lit(Linking.exactConfidence).as("confidence"))
+    val misses = s.join(broadcast(kb.toDF.select(col("label_lc"))),
+        col("surface_lc") === col("label_lc"), "left_anti")
+      .withColumn("block", split(col("surface_lc"), " ").getItem(0))
+    // KB labels are unique, so exact matches are already top-1; only the
+    // fuzzy side can produce multiple candidates and needs the window.
+    val w = Window.partitionBy(col("surface"))
+      .orderBy(col("confidence").desc, col("uri").asc)
+    val fuzzy = misses.join(
+        broadcast(kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))),
+        "block")
+      .withColumn("confidence", jwUdf(col("label_lc"), col("surface_lc")))
+      .filter(col("confidence") >= Linking.fuzzyThreshold &&
+        col("confidence") >= Linking.confidenceThreshold)
+      .select(col("surface"), col("uri"), col("confidence"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    exact.unionByName(fuzzy)
+      .withColumnRenamed("confidence", "link_confidence")
+  }
+
+  /** pages → nodes/edges via a CHECKPOINTED triples table: the NLP pass
+    * writes `workDir/triples` once; everything downstream reads the
+    * file. This is both the resume boundary (M7: a killed job rerun
+    * skips the NLP pass) and the fix for cache-miss recompute — a
+    * persist()ed Dataset referenced from several union/broadcast
+    * branches races its own cache population and can silently recompute
+    * the whole NLP lineage per branch (observed: 2× pipeline cost per
+    * downstream action). A parquet boundary cannot be recomputed. */
+  def graphCheckpointed(pages: Dataset[Page], kb: Dataset[KbEntry], workDir: String)
+      : (Dataset[TripleRow], DataFrame, DataFrame) = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    Kg.pagesToTriples(pages).write.mode("overwrite").parquet(s"$workDir/triples")
+    val trip = spark.read.parquet(s"$workDir/triples").as[TripleRow]
+    val (nodes, edges) = graphFromTriples(trip, kb)
+    (trip, nodes, edges)
+  }
+
+  def graph(pages: Dataset[Page], kb: Dataset[KbEntry]): (Dataset[TripleRow], DataFrame, DataFrame) = {
+    val trip = Kg.pagesToTriples(pages)
+      .persist(StorageLevel.MEMORY_AND_DISK) // one NLP pass, reused by every action
+    val (nodes, edges) = graphFromTriples(trip, kb)
+    (trip, nodes, edges)
+  }
+
+  /** Linking + enrichment + materialization from a (cached or
+    * file-backed) triples Dataset.
+    *
+    * Cost model (the part that must survive 100 TB): exactly ONE
+    * aggregation over the big table (the vocabulary rollup —
+    * surface→(type, slug), Zipfian mentions collapse to single rows);
+    * everything else is vocabulary-sized (linking, IRI minting, node
+    * dedup) and joins back by broadcast. Edges are a pure narrow
+    * projection — upstream dedup on (url, subj, pred, obj) already makes
+    * edge rows unique, so no second big shuffle. */
+  def graphFromTriples(trip: Dataset[TripleRow], kb: Dataset[KbEntry]): (DataFrame, DataFrame) = {
+    // ONE big-table rollup: every distinct entity surface with its
+    // deterministic representative (type, slug). classify() is a pure
+    // function of the surface, so min_by just pins tie order.
+    val surfaceInfo = trip.toDF
+      .select(col("subj_surface").as("surface"), col("subj_type").as("entity_type"),
+        col("subj").as("slug"))
+      .unionByName(trip.toDF.filter(col("obj_is_entity"))
+        .select(col("obj").as("surface"), col("obj_type").as("entity_type"),
+          col("obj_slug").as("slug")))
+      .groupBy(col("surface"))
+      .agg(min_by(struct(col("entity_type"), col("slug")),
+        struct(col("entity_type"), col("slug"))).as("i"))
+      .select(col("surface"), col("i.entity_type").as("entity_type"), col("i.slug").as("slug"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Linking + IRI minting, all vocabulary-sized.
+    val links = linkSurfaces(surfaceInfo.select(col("surface")), kb)
+    val surfaceIri = surfaceInfo
+      .join(links.select(col("surface"), col("uri")), Seq("surface"), "left")
+      .withColumn("iri", coalesce(col("uri"),
+        concat(lit("https://kg.local/e/"), col("slug"), lit("-"),
+          substring(sha1(col("surface")), 1, 8))))
+      .select(col("surface"), col("entity_type"), col("slug"), col("iri"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    surfaceIri.count() // force once; broadcast reuses the cache
+
+    val nodes = surfaceIri
+      .groupBy(col("iri"))
+      .agg(min_by(struct(col("entity_type"), col("surface"), col("slug")),
+        struct(col("surface"), col("entity_type"))).as("n"))
+      .select(col("iri"), col("n.entity_type").as("entity_type"),
+        col("n.surface").as("name"), col("n.slug").as("slug"))
+
+    // Narrow projection: two broadcast joins, no shuffle, unique by
+    // construction (trip is deduped on the edge key).
+    val edges = trip.toDF
+      .join(broadcast(surfaceIri.select(col("surface").as("subj_surface"),
+        col("iri").as("src_iri"))), Seq("subj_surface"))
+      .join(broadcast(surfaceIri.select(col("surface").as("obj"),
+        col("iri").as("obj_iri"))), Seq("obj"), "left")
+      .select(
+        col("src_iri"), col("pred"),
+        when(col("obj_is_entity"), col("obj_iri")).otherwise(lit(null)).as("dst_iri"),
+        when(!col("obj_is_entity"), col("obj")).otherwise(lit(null)).as("obj_literal"),
+        (!col("obj_is_entity")).as("is_literal"),
+        col("url"), col("confidence"))
+    (nodes, edges)
+  }
+}

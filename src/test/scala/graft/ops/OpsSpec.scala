@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkTestBase {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per normalized text") {
+    val d = docs(Seq(
+      (1L, "the quick brown fox"), (2L, "THE  QUICK   brown FOX"),
+      (3L, "something else entirely here")))
+    val r = Dedup.exact(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r(1L) && !r(2L) && r(3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token30", "changed30") // ~95% shingle overlap
+    val other = (1 to 60).map(i => s"word$i").mkString(" ")
+    val d = docs(Seq((1L, base), (2L, nearDup), (3L, other), (4L, base)))
+    val pairs = Dedup.lshCandidates(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(pairs.contains((1L, 4L)), s"exact pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false candidate: $pairs")
+  }
+
+  test("simhash: near-dups differ in few bits, unrelated in many") {
+    val base = (1 to 80).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "changedx")
+    val other = (1 to 80).map(i => s"word$i").mkString(" ")
+    val d = docs(Seq((1L, base), (2L, nearDup), (3L, other)))
+    val sh = d.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 12,
+      s"near-dup hamming ${hamming(sh(1L), sh(2L))}")
+    assert(hamming(sh(1L), sh(3L)) >= 20,
+      s"unrelated hamming ${hamming(sh(1L), sh(3L))}")
+  }
+
+  test("jaccard column matches hand-computed value") {
+    val d = docs(Seq((1L, "a b c d"), (2L, "b c d e")))
+    val a = d.filter(col("doc_id") === 1).select(col("text").as("t1"))
+    val b = d.filter(col("doc_id") === 2).select(col("text").as("t2"))
+    val j = a.crossJoin(b)
+      .select(Dedup.jaccard(col("t1"), col("t2"), 1).as("j"))
+      .head().getDouble(0)
+    assert(j == 0.6) // {b,c,d} / {a,b,c,d,e}
+  }
+
+  test("embedding near-dup: planted duplicate found at 0.95") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(7L)
+    def vec() = Array.fill(64)((rng.nextDouble() - 0.5).toFloat)
+    val v1 = vec()
+    val v1dup = v1.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val corpus = Seq((1L, v1), (2L, v1dup), (3L, vec()), (4L, vec()))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(corpus, 64, 6, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("LSH ANN returns the true nearest neighbor for in-bucket queries") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(11L)
+    def vec() = Array.fill(64)((rng.nextDouble() - 0.5).toFloat)
+    val vs = (0L until 200L).map(i => (i, vec()))
+    val corpus = vs.toDF("vec_id", "embedding")
+    val q = vs.take(5).map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+    val brute = Similarity.bruteForceTopK(q, corpus, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(q, corpus, 64, 4, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rank-1 self-match always lands in its own bucket
+    assert(lsh == brute)
+    assert(brute.forall { case (qid, v) => qid == v })
+  }
+
+  test("multimodal: decode parses fake header; resize preserves aspect; features normalized") {
+    val imgs = Multimodal.images(spark, 50)
+    val dec = Multimodal.decode(imgs)
+    val rows = dec.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.width >= 64 && r.height >= 64 && r.channels == 3))
+    val resized = Multimodal.resizeMeta(dec, 256).collect()
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(ow, oh) <= 256)
+      if (math.max(w, h) <= 256) assert(ow == w && oh == h)
+    }
+    val feats = Multimodal.features(imgs).collect()
+    assert(feats.forall(f => f.features.length == 16 &&
+      math.abs(f.features.sum - 1f) < 1e-3))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val d = docs(Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de la madre"),
+      (3L, "der hund und die katze und der garten")))
+    val r = TextAnalysis.langId(d, col("text"))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(1L) == "en" && r(2L) == "es" && r(3L) == "de")
+  }
+}
