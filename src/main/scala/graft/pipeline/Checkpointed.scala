@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Resumable, checkpointed batch execution (SURVEY.md §2.9, §7.1 M7;
+  * north rule: "per-partition checkpointed lineage + metrics enabling
+  * resume at 10^12-document scale").
+  *
+  * Layout under `baseDir`:
+  *   triples/pk=[k]/part-....parquet  hash-partitioned by url-domain bucket
+  *   nodes/, edges/                   parquet graph tables
+  *   _done/pk=[k].json                per-partition completion manifest +
+  *                                    lineage (pages, triples, run id)
+  *   _metrics/run=[r].json            per-run rollup
+  *
+  * Protocol: a run processes only buckets without a manifest, writes
+  * their triples with dynamic partition-overwrite (idempotent — a
+  * half-written bucket from a killed run is fully replaced on retry,
+  * never appended), then commits one manifest per bucket. Manifests are
+  * written AFTER the data, so a crash between data and manifest merely
+  * re-does that bucket; the deterministic kernel makes the rewrite
+  * byte-identical. This is the Iceberg-commit pattern expressed on plain
+  * partitioned parquet (no Iceberg jars in this sandbox —
+  * `format("iceberg")` + REPLACE PARTITIONS is the one-line swap,
+  * SURVEY.md §7.0).
+  */
+object Checkpointed {
+
+  /** url-domain of a url column (north rule: partition by url-domain). */
+  def domainOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
+  /** Stable bucket 0..nBuckets-1 from the domain (not Spark's `hash`,
+    * whose seed is engine-private: crc32 is portable and stable). */
+  def bucketOf(url: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(crc32(domainOf(url)), lit(nBuckets.toLong)).cast("int")
+
+  final case class BucketManifest(pk: Int, nPages: Long, nTriples: Long, runId: Long)
+
+  def doneBuckets(baseDir: String): Set[Int] = {
+    val dir = Paths.get(baseDir, "_done")
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("pk=") && s.endsWith(".json") =>
+        s.stripPrefix("pk=").stripSuffix(".json").toInt
+      }.toSet
+  }
+
+  private def commitManifest(baseDir: String, m: BucketManifest): Unit = {
+    val dir = Paths.get(baseDir, "_done")
+    Files.createDirectories(dir)
+    val json =
+      s"""{"pk":${m.pk},"n_pages":${m.nPages},"n_triples":${m.nTriples},"run_id":${m.runId}}"""
+    Files.write(dir.resolve(s"pk=${m.pk}.json"), json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Run (or resume) the triple-extraction stage over `pages` into
+    * `baseDir/triples`, bucketed by url-domain. Returns the manifests
+    * committed by THIS run (empty when everything was already done). */
+  def runTriples(pages: Dataset[Page], baseDir: String, nBuckets: Int = 64,
+      runId: Long = 0L): Seq[BucketManifest] = {
+    val spark = pages.sparkSession
+    val done = doneBuckets(baseDir)
+    val withPk = pages.withColumn("pk", bucketOf(col("url"), nBuckets))
+    val todo = withPk.filter(!col("pk").isin(done.toSeq: _*))
+
+    // lineage inputs: pages per remaining bucket (one cheap agg)
+    val pageCounts = todo.groupBy(col("pk")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (pageCounts.isEmpty) return Seq.empty
+
+    val trip = Kg.pagesToTriples(todo.drop("pk").as[Page](pages.encoder))
+      .withColumn("pk", bucketOf(col("url"), nBuckets))
+
+    // idempotent per-partition overwrite: a killed run's partial bucket
+    // directories are replaced wholesale on retry
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    trip.write.mode("overwrite").partitionBy("pk").parquet(s"$baseDir/triples")
+
+    // per-bucket lineage from the written files (ground truth, not the plan)
+    val written = spark.read.parquet(s"$baseDir/triples")
+      .groupBy(col("pk")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val manifests = pageCounts.keys.toSeq.sorted.map { pk =>
+      BucketManifest(pk, pageCounts(pk), written.getOrElse(pk, 0L), runId)
+    }
+    manifests.foreach(m => commitManifest(baseDir, m))
+    writeRunMetrics(baseDir, runId, manifests)
+    manifests
+  }
+
+  private def writeRunMetrics(baseDir: String, runId: Long, ms: Seq[BucketManifest]): Unit = {
+    val dir = Paths.get(baseDir, "_metrics")
+    Files.createDirectories(dir)
+    val json = ms.map(m =>
+      s"""{"pk":${m.pk},"n_pages":${m.nPages},"n_triples":${m.nTriples}}""")
+      .mkString("[", ",", "]")
+    Files.write(dir.resolve(s"run=$runId.json"),
+      s"""{"run_id":$runId,"buckets":${ms.length},"detail":$json}""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Full resumable pipeline: triples (resumable by bucket) → graph
+    * tables. Node/edge build is a deterministic function of the complete
+    * triples table, rebuilt whenever any bucket was refreshed. */
+  def runAll(pages: Dataset[Page], kb: Dataset[KbEntry], baseDir: String,
+      nBuckets: Int = 64, runId: Long = 0L): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val fresh = runTriples(pages, baseDir, nBuckets, runId)
+    val trip = spark.read.parquet(s"$baseDir/triples").drop("pk").as[TripleRow]
+    if (fresh.nonEmpty || !Files.exists(Paths.get(baseDir, "nodes"))) {
+      val (nodes, edges) = Pipeline.graphFromTriples(trip, kb)
+      nodes.write.mode("overwrite").parquet(s"$baseDir/nodes")
+      edges.withColumn("pk", bucketOf(col("url"), nBuckets))
+        .write.mode("overwrite").partitionBy("pk").parquet(s"$baseDir/edges")
+    }
+  }
+}
