@@ -177,6 +177,65 @@ object SparkEntry {
       ops.Multimodal.resizeMeta(ops.Multimodal.decode(ops.Multimodal.images(s, n)), 256)
         .select("img_id", "width", "height", "channels", "out_width", "out_height", "label")
     }),
+    // event-time windowed aggregation (streaming shape on batch data)
+    "q_window_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+    // J8: cross-document entity intersection (shared subjects between
+    // two halves of the corpus) — self-join flavored set op
+    "q_entity_intersect" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("doc_id") % 2 === 0)
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      val b = d.filter(col("doc_id") % 2 === 1)
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      a.intersect(b).filter(length(col("tok")) > 0).orderBy(col("tok"))
+    }),
+    // S3+T4: JSON-LD ingest + flattening. The JSON is constructed from
+    // relational columns, flattened through the kernel parser/flattener,
+    // and the oracle computes the expected triples directly from the
+    // source columns — an independent check of the whole JSON path.
+    "q_jsonld_flatten" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val joined = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      val json = concat(lit("""{"@type":"Person","name":""""), col("c_name"),
+        lit("""","memberOf":{"@type":"Organization","name":""""), col("n_name"),
+        lit(""""}}"""))
+      val flat = udf((j: String) => graft.kernel.JsonLd.flatten(j)
+        .map(x => (x.subject, x.predicate, x.objectValue)))
+      joined.select(col("c_custkey"), explode(flat(json)).as("t"))
+        .select(col("c_custkey"), col("t._1").as("subj"),
+          col("t._2").as("pred"), col("t._3").as("obj"))
+    }),
+    // J9: DocRED-style denormalization (posexplode + double join)
+    "kg_docred_denorm" -> ((s, dir) => {
+      DocRed.goldTriples(DocRed.corpus(s, pagesFor(dir) / 10))
+    }),
+    // A11: cross-sentence relation counts
+    "kg_docred_cross_sentence" -> ((s, dir) => {
+      DocRed.crossSentenceCounts(DocRed.corpus(s, pagesFor(dir) / 10))
+    }),
+    // A8/A9: per-case metrics + aggregate over the live pipeline
+    "kg_eval_aggregate" -> ((s, dir) => {
+      val n = pagesFor(dir)
+      val (_, agg) = EvalAgg.perCaseAndAggregate(
+        Kg.pagesToTriples(Corpus.pages(s, n)).toDF, Corpus.gold(s, n).toDF)
+      agg
+    }),
+    // streaming windowed aggregation shape (computed on batch data here)
+    "kg_windowed_counts" -> ((s, dir) => {
+      val n = pagesFor(dir)
+      val pages = Corpus.pages(s, n)
+      val trip = Kg.pagesToTriples(pages).toDF
+        .join(pages.toDF.select(col("url"), col("warc_ts")), Seq("url"))
+      graft.streaming.StreamIngest.windowedCounts(trip)
+        .select(col("window.start").as("win_start"), col("pred"), col("n_triples"))
+    }),
     // KG validation stage (stage 4): per-entity violations + confidence
     "kg_validate" -> ((s, dir) => {
       val trip = Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir)))
@@ -273,6 +332,23 @@ object SparkEntry {
                 ELSE 'de' END AS pred_lang,
            greatest(en, es, de, fr) AS lang_score
          FROM s""",
+    "q_window_events" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_entity_intersect" ->
+      """SELECT tok FROM (
+           SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE doc_id % 2 = 0
+           INTERSECT
+           SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE doc_id % 2 = 1)
+         WHERE length(tok) > 0 ORDER BY tok""",
+    "q_jsonld_flatten" ->
+      """SELECT c_custkey,
+         trim(regexp_replace(lower(c_name), '[^a-z0-9]+', '_', 'g'), '_') AS subj,
+         'memberof' AS pred, n_name AS obj
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
                     FROM embeddings WHERE vec_id < 3)

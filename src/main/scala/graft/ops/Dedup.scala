@@ -44,30 +44,35 @@ object Dedup {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature: k permutations (a_i*h + b_i) mod p over shingle
-    * hashes, min per permutation. Pure column expressions. */
-  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column = {
-    // p = 2^31-1 (Mersenne prime): h < 2^31 and a < 2^31 keep h*a+b
-    // within a long under ANSI overflow checking.
-    val p = 2147483647L
-    val hashes = transform(shingles(text, n), s => pmod(md5Long(s), lit(p)))
+  private val minhashP = 2147483647L // 2^31-1: h*a+b stays within a long (ANSI)
+
+  /** MinHash signature from a pre-materialized shingle-hash array column.
+    * The hash array MUST be a named column (not an inline expression):
+    * inlining it repeats every md5 k times — observed 30× slowdown. */
+  private def signatureFromHashes(hashes: Column, k: Int): Column = {
     val perms = (0 until k).map { i =>
       val a = 2L * i + 1L
       val b = 1000003L * (i + 1)
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(minhashP))))
     }
     array(perms: _*)
   }
 
+  /** MinHash signature: k permutations (a_i*h + b_i) mod p over shingle
+    * hashes, min per permutation. Pure column expressions. */
+  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column =
+    signatureFromHashes(transform(shingles(text, n), s => pmod(md5Long(s), lit(minhashP))), k)
+
   /** LSH band buckets: signature split into bands of r rows; rows sharing
     * any (band_idx, band_hash) are candidate duplicates. Returns the
     * exploded (id, band, bucket) table — groupBy(band, bucket) to find
-    * candidates. */
+    * candidates. Shingle hashes are materialized once per row. */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val r = k / bands
-    val sig = minhashSignature(col(textCol), n, k)
-    df.select(col(idCol), sig.as("sig"))
+    df.select(col(idCol),
+        transform(shingles(col(textCol), n), s => pmod(md5Long(s), lit(minhashP))).as("hashes"))
+      .select(col(idCol), signatureFromHashes(col("hashes"), k).as("sig"))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))

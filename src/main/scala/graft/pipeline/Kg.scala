@@ -114,9 +114,14 @@ object Kg {
   }
 
   /** One fused flatMap Page→TripleRow for the flagship path: identical
-    * semantics to extractText∘chunk∘resolve∘triples (asserted by
+    * semantics to extractText∘chunk∘resolve∘triples∘dedup (asserted by
     * PipelineSpec) but a single object-level pass — no intermediate
-    * Doc/ChunkRow/ResolvedRow encoding between stages. */
+    * Dataset encoding between stages, and NO dedup shuffle: all chunks
+    * of a page live in this one row, and the reference's A6 dedup is
+    * per-document (merge_chunks, extractor.rs:495-550), so first-wins
+    * (chunk, sentence emission order) dedup inside the row IS the global
+    * (url, subj, pred, obj) dedup. The whole pages→triples stage is
+    * therefore shuffle-free (verified by PlanSpec). */
   def extractTriplesFused(pages: Dataset[Page]): Dataset[TripleRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -128,6 +133,7 @@ object Kg {
           if (Chunker.estimateTokens(text) < Chunker.chunkThresholdTokens)
             Vector(Chunk(0, text, 0L, text.length.toLong))
           else Chunker.default.chunk(text)
+        val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
         chunks.iterator.flatMap { c =>
           val resolved = Coref.resolve(c.text).resolvedText
           Relations.extract(resolved).iterator.map { rel =>
@@ -136,14 +142,16 @@ object Kg {
               rel.subj, rel.objIsEntity, rel.subjType, rel.objType,
               c.id, rel.sentIdx, rel.confidence, "rule-based")
           }.filterNot(t => Relations.likelyIncorrect(t.pred))
+            .filter(t => seen.add((t.subj, t.pred, t.obj))) // first-wins A6
         }
       } catch { case _: Exception => Iterator.empty } // O4 row tolerance
     }
   }
 
-  /** Full path: pages → deduped normalized triples. */
+  /** Full path: pages → deduped normalized triples (dedup is inline,
+    * see extractTriplesFused). */
   def pagesToTriples(pages: Dataset[Page]): Dataset[TripleRow] =
-    dedup(extractTriplesFused(pages))
+    extractTriplesFused(pages)
 
   /** Per-document entity consolidation (A1-A4): first-wins entity table
     * via min_by over (chunk_id, start) — replaces the reference's

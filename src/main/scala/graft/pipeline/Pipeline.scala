@@ -110,7 +110,7 @@ object Pipeline {
     // Linking + IRI minting, all vocabulary-sized.
     val links = linkSurfaces(surfaceInfo.select(col("surface")), kb)
     val surfaceIri = surfaceInfo
-      .join(links.select(col("surface"), col("uri")), Seq("surface"), "left")
+      .join(broadcast(links.select(col("surface"), col("uri"))), Seq("surface"), "left")
       .withColumn("iri", coalesce(col("uri"),
         concat(lit("https://kg.local/e/"), col("slug"), lit("-"),
           substring(sha1(col("surface")), 1, 8))))

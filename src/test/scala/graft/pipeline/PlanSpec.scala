@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan gates: the properties that make the 100 TB story true
+  * must be visible in `.explain`, not just intended (builder prompt:
+  * "iterate until it's the plan you'd want"). */
+class PlanSpec extends SparkTestBase {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("parquet scan: filters and projection push down to the reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    Corpus.pages(spark, 100, 4).write.parquet(s"$dir/pages")
+    val df = spark.read.parquet(s"$dir/pages")
+      .filter(col("lang") === "en").select("url", "lang")
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan)
+    assert(plan.contains("ReadSchema: struct<url:string,lang:string>"), plan)
+  }
+
+  test("KB linking joins are broadcast, never shuffled large-side or cartesian") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 100, 4))
+    val (nodes, edges) = Pipeline.graphFromTriples(trip, Corpus.kb(spark, 500))
+    val plan = executedPlan(edges)
+    assert(plan.contains("BroadcastHashJoin"), "edges join-back should broadcast")
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(!plan.contains("SortMergeJoin"),
+      "vocabulary join-back must not shuffle the triples table")
+  }
+
+  test("whole-stage codegen covers the relational ops queries") {
+    val df = graft.SparkEntry.queries("q_agg_group")(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE: codegen spans appear in the FINAL executed plan
+    val plan = executedPlan(df)
+    assert(plan.contains("*("), "expected WholeStageCodegen spans\n" + plan.take(1500))
+  }
+
+  test("pages→triples extraction is completely shuffle-free (dedup is in-row)") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 50, 2))
+    val plan = trip.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "extraction must not shuffle:\n" + plan.take(1000))
+  }
+
+  test("operator-form dedup still combines map-side (partial min_by before exchange)") {
+    val trip = Kg.extractTriplesFused(Corpus.pages(spark, 50, 2))
+    val plan = Kg.dedup(trip).queryExecution.executedPlan.toString
+    // min_by over a struct value falls back to SortAggregate, but the
+    // partial aggregate still runs before the exchange (map-side combine)
+    assert(plan.contains("partial_min_by"), plan.take(800))
+    assert(plan.indexOf("partial_min_by") > plan.indexOf("Exchange"),
+      "partial agg should be below (before) the exchange in the plan tree")
+  }
+
+  test("salted join variant spreads one hot key across all salts") {
+    import spark.implicits._
+    // one very hot mention key joined against the KB
+    val hot = (0 until 2000).map(i =>
+      MentionRow(s"https://d$i.example.org/x", 0, "Acme Corp", "Organization", 0, 9, 0.9))
+    val ments = hot.toDS
+    val df = Linking.linkSalted(ments, Corpus.kb(spark, 100), salts = 8)
+    // correctness: every url still links
+    assert(df.count() == 2000)
+    val plan = executedPlan(df)
+    assert(plan.contains("pmod") || plan.toLowerCase.contains("salt"),
+      "salt term must appear in the physical plan")
+  }
+}
