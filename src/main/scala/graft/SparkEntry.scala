@@ -59,6 +59,12 @@ object SparkEntry {
       val n = pagesFor(dir)
       Kg.entityTable(Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))))
     }),
+    // A2+A5: coref alias sets + the per-document context summary string
+    "kg_context_summary" -> ((s, dir) => {
+      val n = pagesFor(dir)
+      val resolved = Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))
+      Kg.contextSummary(Kg.entityTable(Kg.mentions(resolved)), Kg.aliasTable(resolved))
+    }),
 
     // ---------------- relational operators with DuckDB oracles ----------------
     // A8-style aggregation (partial+final hash agg; map-side combine)
@@ -101,10 +107,12 @@ object SparkEntry {
       val b = li.filter(col("l_tax") >= 0.04).select(col("l_partkey"))
       a.intersect(b).orderBy(col("l_partkey"))
     }),
-    // P4 slugify (kernel UDF vs independent DuckDB regexp oracle)
+    // P4 slugify — native Catalyst Expression (codegen'd, no UDF) vs
+    // an independent DuckDB regexp oracle
     "q_slug" -> ((s, dir) => {
       t(s, dir, "customer")
-        .select(col("c_custkey"), slugUdf(col("c_name")).as("slug"))
+        .select(col("c_custkey"),
+          functions.SlugExpression.slug(col("c_name")).as("slug"))
     }),
     // T1 chunk-count estimate (chunking.rs:89-96 arithmetic)
     "q_chunk_estimate" -> ((s, dir) => {

@@ -171,4 +171,38 @@ object Kg {
         col("first.start").as("first_mention_offset"),
         col("n_mentions"))
   }
+
+  /** A2 alias accumulation: lowercased coref aliases per canonical
+    * entity, from the resolved mention maps (knowledge_buffer.rs:54-63 —
+    * collect_set of lowercased aliases, sorted for determinism). */
+  def aliasTable(resolved: Dataset[ResolvedRow]): DataFrame = {
+    resolved.toDF
+      .select(col("url"), explode(col("mention_map")).as(Seq("alias", "canonical")))
+      .groupBy(col("url"), lower(col("canonical")).as("canonical_lc"))
+      .agg(sort_array(collect_set(lower(col("alias")))).as("aliases"))
+  }
+
+  /** A5 context summary: the reference's per-entity prompt line
+    * "- Name (Type) [also called: a, b]" (knowledge_buffer.rs:77-106),
+    * with ordering pinned by sort (the reference's HashMap order is
+    * nondeterministic — SURVEY.md §7.0). */
+  def contextSummary(entities: DataFrame, aliases: DataFrame): DataFrame = {
+    entities
+      .join(aliases,
+        entities("url") === aliases("url") &&
+          entities("name_lc") === aliases("canonical_lc"), "left")
+      .select(entities("url"), col("name_lc"), col("canonical_name"),
+        col("entity_type"), col("first_chunk_id"), col("first_mention_offset"),
+        col("aliases"))
+      .withColumn("summary_line",
+        concat(lit("- "), col("canonical_name"), lit(" ("), col("entity_type"), lit(")"),
+          when(col("aliases").isNotNull && size(col("aliases")) > 0,
+            concat(lit(" [also called: "), concat_ws(", ", col("aliases")), lit("]")))
+            .otherwise(lit(""))))
+      .groupBy(col("url"))
+      .agg(concat(lit("ENTITIES ALREADY DISCOVERED IN THIS DOCUMENT:\n"),
+        concat_ws("\n", sort_array(collect_list(col("summary_line")))))
+        .as("context_summary"),
+        count(lit(1)).as("n_entities"))
+  }
 }
