@@ -185,6 +185,15 @@ object SparkEntry {
       ops.Multimodal.resizeMeta(ops.Multimodal.decode(ops.Multimodal.images(s, n)), 256)
         .select("img_id", "width", "height", "channels", "out_width", "out_height", "label")
     }),
+    // S3: semi-structured JSON column ingest + aggregation
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
     // event-time windowed aggregation (streaming shape on batch data)
     "q_window_events" -> ((s, dir) => {
       t(s, dir, "events")
@@ -340,6 +349,11 @@ object SparkEntry {
                 ELSE 'de' END AS pred_lang,
            greatest(en, es, de, fr) AS lang_score
          FROM s""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+         max(json_extract(props, '$.k')::BIGINT) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_window_events" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value

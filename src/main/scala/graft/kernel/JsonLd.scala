@@ -198,6 +198,24 @@ object JsonLd {
     out.distinct.sorted.toVector
   }
 
+  /** P3: carve the JSON document out of a free-form model reply
+    * (extract_json_from_response, /root/reference/src/extractor.rs:164-183):
+    * prefer a ```json fenced block; else the span from the first '{' to
+    * the last '}'; None when neither exists. */
+  def extractJsonFromResponse(response: String): Option[String] = {
+    val fence = "```json"
+    val fStart = response.indexOf(fence)
+    if (fStart >= 0) {
+      val bodyStart = fStart + fence.length
+      val fEnd = response.indexOf("```", bodyStart)
+      if (fEnd > bodyStart) return Some(response.substring(bodyStart, fEnd).trim)
+    }
+    val first = response.indexOf('{')
+    val last = response.lastIndexOf('}')
+    if (first >= 0 && last > first) Some(response.substring(first, last + 1))
+    else None
+  }
+
   /** P6 selective normalization on the parsed tree: slug the ROOT
     * `name` only; preserve nested names (normalize.rs:98-142; goldens
     * normalize.rs:202-265). Returns the root name before/after. */

@@ -69,6 +69,16 @@ class JsonLdSpec extends AnyFunSuite {
     assert(JsonLd.normalizeRootName(json).contains(("Aarhus Airport", "aarhus_airport")))
   }
 
+  test("P3 json carve-out from model replies (extractor.rs:164-183)") {
+    assert(JsonLd.extractJsonFromResponse(
+      "Here you go:\n```json\n{\"a\":1}\n```\nthanks").contains("{\"a\":1}"))
+    assert(JsonLd.extractJsonFromResponse(
+      "noise {\"a\":{\"b\":2}} trailing").contains("{\"a\":{\"b\":2}}"))
+    assert(JsonLd.extractJsonFromResponse("no json here").isEmpty)
+    // unterminated fence falls back to brace carving
+    assert(JsonLd.extractJsonFromResponse("```json {\"x\":1}").contains("{\"x\":1}"))
+  }
+
   test("parser handles escapes, numbers, booleans, null, unicode") {
     val json = """{"a":"q\"uo\nteA","n":42.5,"b":true,"x":null,"arr":[1,2]}"""
     val parsed = JsonParser.parse(json)
