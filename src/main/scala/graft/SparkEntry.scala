@@ -160,6 +160,13 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       ops.Similarity.bruteForceTopK(q, e, 5)
     }),
+    // IVF ANN (inverted-list scale path, nProbe=4 of 8 lists)
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ops.Similarity.ivfTopK(q, e, dim = 64, nCentroids = 8, nProbe = 4, k = 5)
+    }),
     // LSH-bucketed ANN (scale path; recall vs brute measured in OpsSpec)
     "q_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

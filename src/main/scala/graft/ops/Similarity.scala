@@ -71,6 +71,54 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
   }
 
+  /** IVF coarse quantizer: deterministic seeded centroid directions
+    * (at real scale these come from a k-means fit persisted as a tiny
+    * table; seeded directions keep this sandbox reproducible with the
+    * same dataflow shape). Returns centroid c as Seq of components. */
+  def ivfCentroid(c: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => planeComponent(c * 131 + 7, d))
+
+  private def centroidScore(vec: Column, cent: Array[Double]): Column =
+    cent.zipWithIndex.map { case (w, d) =>
+      element_at(vec, d + 1).cast("double") * lit(w)
+    }.reduce(_ + _)
+
+  /** Nearest-centroid assignment (argmax dot, deterministic ties by
+    * centroid id) as a pure column expression. */
+  def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column = {
+    val scored = (0 until nCentroids).map { c =>
+      struct(centroidScore(vec, ivfCentroid(c, dim)).as("score"),
+        lit(-c).as("negid")) // ties → smallest centroid id
+    }
+    -greatest(scored: _*).getField("negid")
+  }
+
+  /** Top-nprobe centroid list for a query vector. */
+  private def ivfProbes(vec: Column, dim: Int, nCentroids: Int, nProbe: Int): Column = {
+    val scored = (0 until nCentroids).map { c =>
+      struct(centroidScore(vec, ivfCentroid(c, dim)).as("score"), lit(c).as("id"))
+    }
+    slice(transform(reverse(array_sort(array(scored: _*))), s => s.getField("id")),
+      lit(1), lit(nProbe))
+  }
+
+  /** IVF ANN: corpus partitioned into nCentroids inverted lists; each
+    * query scans only its nProbe closest lists. The shuffle is keyed by
+    * centroid id — at 10^9 vectors each list is a parquet partition and
+    * a query touches nProbe/nCentroids of the data. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val cb = corpus.withColumn("centroid", ivfAssign(col("embedding"), dim, nCentroids))
+    val qb = queries
+      .withColumn("centroid", explode(ivfProbes(col("qvec"), dim, nCentroids, nProbe)))
+    val scored = cb.join(broadcast(qb), Seq("centroid"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets:
     * pairs in the same bucket with cosine ≥ threshold (id1 < id2). */
   def nearDupPairs(corpus: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame = {

@@ -84,6 +84,24 @@ class OpsSpec extends SparkTestBase {
     assert(brute.forall { case (qid, v) => qid == v })
   }
 
+  test("IVF ANN: self-match always found; recall vs brute force is high") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(23L)
+    def vec() = Array.fill(32)((rng.nextDouble() - 0.5).toFloat)
+    val vs = (0L until 300L).map(i => (i, vec()))
+    val corpus = vs.toDF("vec_id", "embedding")
+    val q = vs.take(10).toDF("qid", "qvec")
+    val brute = Similarity.bruteForceTopK(q, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, corpus, dim = 32, nCentroids = 8, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-match (rank 1) must always be present
+    (0L until 10L).foreach(qid => assert(ivf.contains((qid, qid))))
+    // probing half the lists should recover most of the true top-3
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"ivf recall $recall")
+  }
+
   test("multimodal: decode parses fake header; resize preserves aspect; features normalized") {
     val imgs = Multimodal.images(spark, 50)
     val dec = Multimodal.decode(imgs)
