@@ -166,7 +166,13 @@ object Corpus {
   /** Generate one page + its gold triples. Pure in (seed, id). */
   def genPage(id: Long): (Page, Vector[GoldTriple]) = {
     val rng = new Rng(seed ^ (id * 0x9e3779b97f4a7c15L) ^ 0x5bf03635L)
-    val domain = s"w${rng.nextInt(1000)}.example.org"
+    // Zipfian domain skew (FIXTURES.md B2): u^3 concentrates ~half the
+    // corpus on ~12% of domains — stresses url-domain bucket balance
+    // and the salted-join path exactly like real crawl data.
+    val domain = {
+      val u = rng.nextDouble()
+      s"w${(u * u * u * 1000).toInt.min(999)}.example.org"
+    }
     val kindRoll = rng.nextDouble()
     val isLong = rng.nextDouble() < 0.10
     val nonEn = rng.nextDouble() < 0.05
