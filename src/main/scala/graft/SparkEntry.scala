@@ -139,12 +139,14 @@ object SparkEntry {
       val d = t(s, dir, "documents").filter(length(col("text")) > 0)
       val a = d.select(col("doc_id").as("id1"), col("text").as("t1"))
       val b = d.select(col("doc_id").as("id2"), col("text").as("t2"))
+      // token sets materialized once per side (CLAUDE.md rule: inline
+      // array-expression reuse duplicates work per reference)
       a.join(b, col("id2") === col("id1") + 250)
+        .withColumn("s1", array_distinct(split(col("t1"), " ")))
+        .withColumn("s2", array_distinct(split(col("t2"), " ")))
         .select(col("id1"), col("id2"),
-          round(size(array_intersect(array_distinct(split(col("t1"), " ")),
-            array_distinct(split(col("t2"), " ")))).cast("double") /
-            size(array_union(array_distinct(split(col("t1"), " ")),
-              array_distinct(split(col("t2"), " ")))), 4).as("jaccard"))
+          round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+            size(array_union(col("s1"), col("s2"))), 4).as("jaccard"))
     }),
     // embedding-cosine near-dup pairs via hyperplane LSH buckets
     // threshold 0.2: the driver's embeddings are random vectors (true

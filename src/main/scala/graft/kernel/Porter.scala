@@ -9,6 +9,15 @@ package graft.kernel
   * classic Porter: runs/running→run, ran→ran, serves/serving/served→serv,
   * graduates/graduating/graduated→graduat, birthdate→birthdat,
   * almamater→almamat, cityserved→cityserv, location→locat.
+  *
+  * PARITY SCOPE: the reference actually uses rust-stemmers
+  * `Algorithm::English` — Snowball/Porter2 — which agrees with classic
+  * Porter on every golden above and on every predicate the pipeline can
+  * emit (the PredDict-canonicalized set, pinned exhaustively by
+  * KernelSpec "porter parity is pinned for every canonical predicate"),
+  * but diverges on some words outside that set (e.g. "ties": Porter
+  * → "ti", Porter2 → "tie"). Parity is therefore guaranteed only for
+  * the dictionary-canonicalized predicate vocabulary, by test.
   */
 object Porter {
 

@@ -178,13 +178,14 @@ object Relations {
   }
 
   /** Heuristic triple filter (P12,
-    * /root/reference/examples/docred_evaluation.rs:330-358): drop
-    * predicates containing founder/funder/currentceo/ceo, and alumni
-    * not alumniOf. Applied on the *canonical* predicate. */
+    * /root/reference/examples/docred_evaluation.rs:330-358, replicated
+    * exactly): drop predicates containing founder/funder/currentceo,
+    * the exact predicate "ceo", and alumni not alumniOf. Applied on
+    * the *canonical* predicate. */
   def likelyIncorrect(pred: String): Boolean = {
     val p = pred.toLowerCase
     p.contains("founder") || p.contains("funder") || p.contains("currentceo") ||
-      (p.contains("ceo") && !p.contains("founded")) ||
+      p == "ceo" ||
       (p.contains("alumni") && !p.contains("alumniof"))
   }
 }

@@ -43,11 +43,15 @@ object Checkpointed {
   def doneBuckets(baseDir: String): Set[Int] = {
     val dir = Paths.get(baseDir, "_done")
     if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("pk=") && s.endsWith(".json") =>
-        s.stripPrefix("pk=").stripSuffix(".json").toInt
-      }.toSet
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("pk=") && n.endsWith(".json") =>
+          n.stripPrefix("pk=").stripSuffix(".json").toInt
+        }.toSet
+      finally s.close()
+    }
   }
 
   private def commitManifest(baseDir: String, m: BucketManifest): Unit = {
@@ -82,8 +86,14 @@ object Checkpointed {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     trip.write.mode("overwrite").partitionBy("pk").parquet(s"$baseDir/triples")
 
-    // per-bucket lineage from the written files (ground truth, not the plan)
+    // per-bucket lineage from the written files (ground truth, not the
+    // plan) — restricted to THIS run's fresh buckets: the pk filter is
+    // partition-pruned, so an incremental run with one fresh bucket
+    // reads one bucket directory, never the whole table (at 10^12 docs
+    // a full-table rescan per incremental run would dwarf the run).
+    val freshKeys = pageCounts.keys.toSeq
     val written = spark.read.parquet(s"$baseDir/triples")
+      .filter(col("pk").isin(freshKeys: _*))
       .groupBy(col("pk")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 

@@ -22,7 +22,9 @@ import graft.kernel.Jaro
   *
   * Scoring replicates entity_linker.rs:367-401: exact (case-insensitive)
   * match ⇒ 0.95; fuzzy ⇒ JW similarity, kept if ≥ fuzzyThreshold (0.8);
-  * retain ≥ confidenceThreshold (0.7); top-1 per (url, surface) by
+  * retain ≥ confidenceThreshold (0.5, the EntityLinker config default,
+  * entity_linker.rs:64 — currently inert because exact=0.95 and fuzzy
+  * candidates are pre-filtered at ≥0.8); top-1 per (url, surface) by
   * (confidence desc, uri asc) — the uri tie-break is our determinism
   * pin (the reference's sort leaves ties nondeterministic,
   * SURVEY.md §7.0).
@@ -31,7 +33,7 @@ object Linking {
 
   val exactConfidence = 0.95 // entity_linker.rs:369
   val fuzzyThreshold = 0.8 // entity_linker.rs config default
-  val confidenceThreshold = 0.7
+  val confidenceThreshold = 0.5 // entity_linker.rs:64 EntityLinker default
 
   private val jwUdf = udf((a: String, b: String) => Jaro.jaroWinkler(a, b))
 

@@ -23,8 +23,17 @@ object StreamIngest {
     Kg.extractTriplesFused(pages)
 
   /** File-source ingestion: watch `pagesDir` for parquet page files,
-    * extract, append bucketed triples under `outDir/triples`.
-    * Trigger.AvailableNow processes the backlog then stops. */
+    * extract, write bucketed triples under `outDir/triples`.
+    * Trigger.AvailableNow processes the backlog then stops.
+    *
+    * Exactly-once sink on an at-least-once contract: foreachBatch can
+    * REPLAY a batch after a failure, so a blind append would duplicate
+    * that batch's triples and break the streaming==batch equivalence
+    * (triples must stay unique on (url,subj,pred,obj) for the graph
+    * build). The output is therefore partitioned by (batch, pk) and
+    * written with dynamic partition overwrite: a replayed batchId
+    * replaces exactly its own partitions, byte-identical (the kernel is
+    * deterministic), never appending twice. */
   def run(spark: SparkSession, pagesDir: String, outDir: String,
       checkpointDir: String, nBuckets: Int = 16): StreamingQuery = {
     import spark.implicits._
@@ -36,13 +45,24 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[TripleRow], batchId: Long) =>
-        Kg.dedup(batch)
-          .withColumn("pk", Checkpointed.bucketOf(col("url"), nBuckets))
-          .write.mode("append").partitionBy("pk")
-          .parquet(s"$outDir/triples")
-        ()
+        writeBatch(batch, batchId, outDir, nBuckets)
       }
       .start()
+  }
+
+  /** The idempotent per-batch sink (see `run`). Public so the replay
+    * contract is directly testable: writing the same (batch, batchId)
+    * twice yields the same rows as writing it once. */
+  def writeBatch(batch: Dataset[TripleRow], batchId: Long, outDir: String,
+      nBuckets: Int): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Kg.dedup(batch)
+      .withColumn("batch", lit(batchId))
+      .withColumn("pk", Checkpointed.bucketOf(col("url"), nBuckets))
+      .write.mode("overwrite").partitionBy("batch", "pk")
+      .parquet(s"$outDir/triples")
+    ()
   }
 
   /** Windowed throughput monitor: triples per 1-hour warc_ts window with

@@ -201,5 +201,32 @@ class KernelSpec extends AnyFunSuite {
     assert(Relations.likelyIncorrect("alumni"))
     assert(!Relations.likelyIncorrect("alumniof"))
     assert(!Relations.likelyIncorrect("birthdat"))
+    // exact-match semantics of the reference filter: only predicate
+    // == "ceo" is dropped, not predicates merely containing "ceo"
+    assert(Relations.likelyIncorrect("ceo"))
+    assert(!Relations.likelyIncorrect("oceanographerceo")) // substring, kept
+    assert(!Relations.likelyIncorrect("foundedby"))
+  }
+
+  test("porter parity is pinned for every canonical predicate") {
+    // The reference stems with Snowball/Porter2; we use classic Porter.
+    // The two agree on the full vocabulary PredDict can emit — pinned
+    // here so any dictionary addition that diverges fails loudly.
+    val vocab = (PredDict.wikidataToSchema.values ++
+      PredDict.surfaceToSchema.values).toSeq.distinct.sorted
+    val expected = Map(
+      "addressCountry" -> "addresscountri", "alumniOf" -> "alumniof",
+      "birthDate" -> "birthdat", "birthPlace" -> "birthplac",
+      "containedInPlace" -> "containedinplac", "deathDate" -> "deathdat",
+      "deathPlace" -> "deathplac", "dissolutionDate" -> "dissolutiond",
+      "foundedBy" -> "foundedbi", "foundingDate" -> "foundingd",
+      "jobTitle" -> "jobtitl", "language" -> "languag",
+      "location" -> "locat", "memberOf" -> "memberof",
+      "nationality" -> "nation", "worksFor" -> "worksfor")
+    vocab.foreach { p =>
+      assert(expected.contains(p), s"unpinned canonical predicate: $p")
+      assert(Porter.stemPredicate(p) == expected(p),
+        s"$p stemmed to ${Porter.stemPredicate(p)}")
+    }
   }
 }

@@ -65,6 +65,32 @@ class CheckpointedSpec extends SparkTestBase {
     assert(Checkpointed.runTriples(pages, dir, nBuckets = 8, runId = 3).isEmpty)
   }
 
+  test("incremental lineage count reads ONLY fresh bucket files (partition-pruned)") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir()
+    val pages = Corpus.pages(spark, 200, 4)
+    val ms = Checkpointed.runTriples(pages, dir, nBuckets = 8, runId = 1)
+    // the lineage read runTriples issues for a run that refreshed only
+    // bucket `fresh`: the pk filter must prune every other directory.
+    // Execution-truth check: plan the pruned read, then DELETE every
+    // other bucket's data files — a scan that touched them would throw
+    // FileNotFoundException; a pruned scan never opens them.
+    val fresh = ms.head.pk
+    val pruned = spark.read.parquet(s"$dir/triples")
+      .filter(col("pk").isin(Seq(fresh): _*))
+    val tripDir = Paths.get(dir, "triples")
+    Files.list(tripDir).iterator().asScala.toList
+      .filter(p => p.getFileName.toString.startsWith("pk=") &&
+        p.getFileName.toString != s"pk=$fresh")
+      .foreach { bucket =>
+        Files.list(bucket).iterator().asScala.toList.foreach(Files.delete)
+        Files.delete(bucket)
+      }
+    val n = pruned.groupBy(col("pk")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(n == Map(fresh -> ms.head.nTriples))
+  }
+
   test("runAll produces graph tables partitioned by domain bucket") {
     val dir = freshDir()
     val pages = Corpus.pages(spark, 200, 4)

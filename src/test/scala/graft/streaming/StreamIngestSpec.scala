@@ -29,6 +29,19 @@ class StreamIngestSpec extends SparkTestBase {
     assert(batch.count() > 0)
   }
 
+  test("replayed foreachBatch batch is idempotent (at-least-once sink)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_replay").toString
+    val pages = Corpus.pages(spark, 60, 2)
+    val batch = Kg.pagesToTriples(pages)
+    StreamIngest.writeBatch(batch, 7L, s"$work/out", nBuckets = 4)
+    val once = spark.read.parquet(s"$work/out/triples").count()
+    // simulate the at-least-once replay: same batchId written again
+    StreamIngest.writeBatch(batch, 7L, s"$work/out", nBuckets = 4)
+    val twice = spark.read.parquet(s"$work/out/triples").count()
+    assert(once == twice && once > 0)
+  }
+
   test("windowed counts group triples into hourly warc_ts windows") {
     import spark.implicits._
     val df = Seq(
