@@ -46,50 +46,154 @@ object Dedup {
 
   private val minhashP = 2147483647L // 2^31-1: h*a+b stays within a long (ANSI)
 
-  /** MinHash signature from a pre-materialized shingle-hash array column.
-    * The hash array MUST be a named column (not an inline expression):
-    * inlining it repeats every md5 k times — observed 30× slowdown. */
-  private def signatureFromHashes(hashes: Column, k: Int): Column = {
-    val perms = (0 until k).map { i =>
+  /** MinHash signature as pure column expressions — the EXECUTABLE SPEC
+    * of the signature semantics, kept for the equivalence test against
+    * the one-pass kernel below. Do NOT use on the hot path: k
+    * independent `transform` passes compile to a ~2 MB codegen unit and
+    * were measured at ~7 ms/doc (34.5 s for 5k docs). */
+  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column = {
+    val hashes = transform(shingles(text, n), s => pmod(md5Long(s), lit(minhashP)))
+    // NOTE: callers must name `hashes` via withColumn before fanning out,
+    // or every perm repeats the md5 work (observed 30x slowdown).
+    array((0 until k).map { i =>
       val a = 2L * i + 1L
       val b = 1000003L * (i + 1)
       array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(minhashP))))
-    }
-    array(perms: _*)
+    }: _*)
   }
 
-  /** MinHash signature: k permutations (a_i*h + b_i) mod p over shingle
-    * hashes, min per permutation. Pure column expressions. */
-  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column =
-    signatureFromHashes(transform(shingles(text, n), s => pmod(md5Long(s), lit(minhashP))), k)
+  // ---- one-pass MinHash kernel (the production path) ----
+  // Identical semantics to minhashSignature (pinned by OpsSpec
+  // equivalence test and the DuckDB oracle): same whitespace
+  // normalization, word shingles, md5-hex-prefix 60-bit hash, and
+  // (a_i*h + b_i) mod p permutations — but computed in ONE imperative
+  // loop per row instead of k Catalyst passes over the shingle array.
+  // This is the sanctioned mapPartitions carve-out (SURVEY.md §2.10):
+  // a k-minima accumulator is a 15-line loop that a giant expression
+  // tree loses to by ~60x (round-1 bench: 34.5 s -> sub-second).
 
-  /** LSH band buckets: signature split into bands of r rows; rows sharing
-    * any (band_idx, band_hash) are candidate duplicates. Returns the
-    * exploded (id, band, bucket) table — groupBy(band, bucket) to find
-    * candidates. Shingle hashes are materialized once per row. */
+  /** 60-bit hash from the first 15 hex chars of md5 (bytes 0-6 + the
+    * high nibble of byte 7) — bit-identical to
+    * conv(substring(md5(s),1,15),16,10). */
+  private def md5Long60(s: String, md: java.security.MessageDigest): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  private def md5Hex(s: String, md: java.security.MessageDigest): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One-pass MinHash signature of a text (kernel form). Matches
+    * minhashSignature semantics exactly: tokens = lowercased text with
+    * whitespace collapsed, split on single spaces (trailing empties
+    * kept, as Spark split does); shingles = n-token windows for
+    * i in 0..max(len-n, 0) (short texts yield one truncated shingle). */
+  def minhashSigKernel(text: String, n: Int, k: Int,
+      md: java.security.MessageDigest): Array[Long] = {
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val last = math.max(toks.length - n, 0)
+    var i = 0
+    while (i <= last) {
+      val sh = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+      val h = md5Long60(sh, md) % minhashP
+      var j = 0
+      while (j < k) {
+        val cand = (h * (2L * j + 1L) + 1000003L * (j + 1)) % minhashP
+        if (cand < sig(j)) sig(j) = cand
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Band hashes of a signature: md5 hex of the comma-joined band slice
+    * (identical to md5(concat_ws(",", slice(sig, b*r+1, r)))). */
+  def bandHashesKernel(sig: Array[Long], bands: Int,
+      md: java.security.MessageDigest): Array[String] = {
+    val r = sig.length / bands
+    Array.tabulate(bands) { b =>
+      md5Hex(sig.slice(b * r, b * r + r).mkString(","), md)
+    }
+  }
+
+  /** LSH band buckets (id, band, bucket): rows sharing any
+    * (band, bucket) are candidate duplicates. Signature + band hashes
+    * are computed scan-side in one narrow mapPartitions pass — the only
+    * shuffle in the whole dedup is the downstream bucket join. */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
-    val r = k / bands
-    df.select(col(idCol),
-        transform(shingles(col(textCol), n), s => pmod(md5Long(s), lit(minhashP))).as("hashes"))
-      .select(col(idCol), signatureFromHashes(col("hashes"), k).as("sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val sig = minhashSigKernel(if (text == null) "" else text, n, k, md)
+          val bh = bandHashesKernel(sig, bands, md)
+          (0 until bands).iterator.map(b => (id, b, bh(b)))
+        }
+      }
+      .toDF(idCol, "band", "bucket")
   }
 
   /** Candidate near-duplicate pairs from LSH buckets (id1 < id2),
-    * deduplicated across bands. */
+    * deduplicated across bands — with a BUCKET-SIZE CAP, the guard that
+    * makes this safe at 10^12 docs: a same-bucket self-join is
+    * quadratic in bucket size, so one viral boilerplate cluster of 10^6
+    * docs would otherwise emit 10^12 pairs from a single bucket.
+    * Buckets with ≤ bucketCap members emit all pairs (exact LSH
+    * semantics); larger buckets degrade to STAR pairing — every member
+    * paired with the bucket's min-id representative — which keeps the
+    * duplicate cluster connected (what downstream connected-component /
+    * greedy dedup needs) at O(m) instead of O(m²) pairs. Use
+    * lshCappedBuckets to count/log what was capped. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      bucketCap: Int = 2000): DataFrame = {
     val b = lshBuckets(df, idCol, textCol, n, k, bands)
-    val l = b.withColumnRenamed(idCol, "id1")
-    val rgt = b.withColumnRenamed(idCol, "id2")
-    l.join(rgt, Seq("band", "bucket"))
+    val counts = b.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"), min(col(idCol)).as("rep"))
+    val withC = b.join(counts, Seq("band", "bucket"))
+    val small = withC.filter(col("bkt_n") <= bucketCap)
+      .select(col("band"), col("bucket"), col(idCol))
+    val allPairs = small.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(small.select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+      .select(col("id1"), col("id2"))
+    val starPairs = withC
+      .filter(col("bkt_n") > bucketCap && col(idCol) =!= col("rep"))
+      .select(col("rep").as("id1"), col(idCol).as("id2"))
+    allPairs.unionByName(starPairs).distinct()
   }
+
+  /** The buckets lshCandidates capped (band, bucket, bkt_n > cap) —
+    * count/log this next to any capped run so truncation is never
+    * silent. */
+  def lshCappedBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      bucketCap: Int = 2000): DataFrame =
+    lshBuckets(df, idCol, textCol, n, k, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > bucketCap)
 
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, b: Column, n: Int): Column = {

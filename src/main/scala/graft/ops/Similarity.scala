@@ -120,13 +120,34 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets:
-    * pairs in the same bucket with cosine ≥ threshold (id1 < id2). */
-  def nearDupPairs(corpus: DataFrame, dim: Int, nBits: Int, threshold: Double): DataFrame = {
+    * pairs in the same bucket with cosine ≥ threshold (id1 < id2).
+    *
+    * Bucket-size cap (same guard as Dedup.lshCandidates): the in-bucket
+    * self-join is quadratic in bucket size, so buckets above bucketCap
+    * degrade to star pairing on the min-id member — each member is
+    * compared (and thresholded) against the representative only, O(m)
+    * pairs instead of O(m²), keeping a giant near-dup cluster connected
+    * without emitting it pairwise. */
+  def nearDupPairs(corpus: DataFrame, dim: Int, nBits: Int, threshold: Double,
+      bucketCap: Int = 2000): DataFrame = {
     val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
-    val a = cb.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = cb.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
-    a.join(b, Seq("bucket"))
+    val counts = cb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"), min(col("vec_id")).as("rep"))
+    // ≤ 2^nBits rows — broadcast so the cap check never shuffles corpus
+    val withC = cb.join(broadcast(counts), Seq("bucket"))
+    val small = withC.filter(col("bkt_n") <= bucketCap)
+    val a = small.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = small.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    val allPairs = a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
+    val reps = withC.filter(col("bkt_n") > bucketCap && col("vec_id") === col("rep"))
+      .select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val starPairs = withC.filter(col("bkt_n") > bucketCap && col("vec_id") =!= col("rep"))
+      .select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+      .join(reps, Seq("bucket"))
+    // no final distinct: each vector lives in exactly ONE bucket, so a
+    // pair can only arise once (unlike banded MinHash)
+    allPairs.unionByName(starPairs.select(allPairs.columns.map(col): _*))
       .withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim"))

@@ -31,6 +31,39 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false candidate: $pairs")
   }
 
+  test("one-pass minhash kernel == columnar executable spec, bit for bit") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short"), (3L, ""), (4L, "two words"),
+      (5L, "  leading and   trailing whitespace  "),
+      (6L, (1 to 100).map(i => s"tok$i").mkString(" ")),
+      (7L, "MIXED Case TEXT With\tTabs\nand newlines"))
+    val d = texts.toDF("doc_id", "text")
+    val columnar = d
+      .select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, t) =>
+      val kernel = Dedup.minhashSigKernel(t, 3, 32, md).toVector
+      assert(kernel == columnar(id), s"doc $id: kernel != columnar")
+    }
+  }
+
+  test("LSH bucket cap: hot bucket degrades to star pairs on the min id") {
+    // 8 identical docs = every band-bucket has 8 members; cap at 4
+    // forces the star path: pairs must be exactly (1, x) for x in 2..8
+    val d = docs((1L to 8L).map(i => (i, "same same same same same text")))
+    val pairs = Dedup.lshCandidates(d, "doc_id", "text", bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (2L to 8L).map(x => (1L, x)).toSet, s"got $pairs")
+    val capped = Dedup.lshCappedBuckets(d, "doc_id", "text", bucketCap = 4)
+    assert(capped.count() == 8) // all 8 bands capped
+    // below the cap the same corpus emits all 28 pairs
+    val full = Dedup.lshCandidates(d, "doc_id", "text", bucketCap = 2000)
+    assert(full.count() == 28)
+  }
+
   test("simhash: near-dups differ in few bits, unrelated in many") {
     val base = (1 to 80).map(i => s"token$i").mkString(" ")
     val nearDup = base.replace("token7", "changedx")
@@ -66,6 +99,22 @@ class OpsSpec extends SparkTestBase {
     val pairs = Similarity.nearDupPairs(corpus, 64, 6, 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("embedding near-dup bucket cap: hot bucket emits star pairs only") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(13L)
+    val base = Array.fill(64)((rng.nextDouble() - 0.5).toFloat)
+    // 6 tiny perturbations of one vector -> same bucket, all near-dups
+    val corpus = (1L to 6L).map { i =>
+      (i, base.zipWithIndex.map { case (x, d) =>
+        if (d == 0) x + 0.001f * i else x })
+    }.toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairs(corpus, 64, 6, 0.9, bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (2L to 6L).map(x => (1L, x)).toSet, s"got $capped")
+    val full = Similarity.nearDupPairs(corpus, 64, 6, 0.9)
+    assert(full.count() == 15) // C(6,2) below the cap
   }
 
   test("LSH ANN returns the true nearest neighbor for in-bucket queries") {
