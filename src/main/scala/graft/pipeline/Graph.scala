@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Graph materialization: enriched triples → node/edge tables with
   * deterministic IRI minting (north rule). IRI = KB uri when linked,
-  * else https://kg.local/e/<slug>-<sha1[0,8)> of the canonical surface
-  * (collision-safe mint, SURVEY.md §7.3#4). */
+  * else https://kg.local/e/<slug>-<md5[0,8)> of the canonical surface
+  * (collision-safe mint, SURVEY.md §7.3#4; md5 so DuckDB oracles can
+  * recompute the mint). */
 object Graph {
 
-  /** sha1 hex prefix as a Column expression (codegen'd, no UDF). */
+  /** md5 hex prefix as a Column expression (codegen'd, no UDF). */
   private def mintIri(slugCol: org.apache.spark.sql.Column, surfaceCol: org.apache.spark.sql.Column) =
-    concat(lit("https://kg.local/e/"), slugCol, lit("-"), substring(sha1(surfaceCol), 1, 8))
+    concat(lit("https://kg.local/e/"), slugCol, lit("-"), substring(md5(surfaceCol), 1, 8))
 
   /** Enriched triples (from Linking.enrich) → (nodes, edges). */
   def materialize(enriched: DataFrame): (DataFrame, DataFrame) = {

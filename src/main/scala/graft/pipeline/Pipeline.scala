@@ -81,17 +81,35 @@ object Pipeline {
     (trip, nodes, edges)
   }
 
+  /** Vocabulary row count under which the join-back side is broadcast.
+    * Above it (open-vocabulary web crawl: 10^8-10^9 distinct surfaces)
+    * broadcasting would OOM every executor, so the join-back switches
+    * to a salted shuffle join. ~50M short rows ≈ low single-digit GB —
+    * tune per cluster executor memory. */
+  val defaultBroadcastVocabLimit = 50000000L
+
+  /** Salt count for the shuffle join-back (spreads one Zipfian-hot
+    * surface key over this many shuffle partitions). */
+  val joinBackSalts = 16
+
   /** Linking + enrichment + materialization from a (cached or
     * file-backed) triples Dataset.
     *
     * Cost model (the part that must survive 100 TB): exactly ONE
     * aggregation over the big table (the vocabulary rollup —
     * surface→(type, slug), Zipfian mentions collapse to single rows);
-    * everything else is vocabulary-sized (linking, IRI minting, node
-    * dedup) and joins back by broadcast. Edges are a pure narrow
-    * projection — upstream dedup on (url, subj, pred, obj) already makes
-    * edge rows unique, so no second big shuffle. */
-  def graphFromTriples(trip: Dataset[TripleRow], kb: Dataset[KbEntry]): (DataFrame, DataFrame) = {
+    * linking, IRI minting and node dedup are vocabulary-sized. The
+    * join-back is SIZE-TIERED on the measured vocabulary count (we
+    * already force surfaceIri, so the count is free): a closed-world
+    * vocabulary broadcasts (zero shuffle of the big side); an
+    * open-vocabulary crawl falls back to a salted shuffle join — the
+    * triple side takes a deterministic url-hash salt and the vocabulary
+    * side is replicated across salts, so a Zipfian-hot surface never
+    * lands on one reducer. Edges stay a projection — upstream dedup on
+    * (url, subj, pred, obj) already makes edge rows unique, so there is
+    * no additional dedup shuffle either way. */
+  def graphFromTriples(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
+      broadcastVocabLimit: Long = defaultBroadcastVocabLimit): (DataFrame, DataFrame) = {
     // ONE big-table rollup: every distinct entity surface with its
     // deterministic representative (type, slug). classify() is a pure
     // function of the surface, so min_by just pins tie order.
@@ -106,17 +124,23 @@ object Pipeline {
         struct(col("entity_type"), col("slug"))).as("i"))
       .select(col("surface"), col("i.entity_type").as("entity_type"), col("i.slug").as("slug"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocabN = surfaceInfo.count() // forces the cache; sizes the tier
+    val useBroadcast = vocabN <= broadcastVocabLimit
 
-    // Linking + IRI minting, all vocabulary-sized.
+    // Linking + IRI minting, all vocabulary-sized. links has unique
+    // surface keys, so the non-broadcast join needs no salt (no skew).
     val links = linkSurfaces(surfaceInfo.select(col("surface")), kb)
+    val linkSide = links.select(col("surface"), col("uri"))
     val surfaceIri = surfaceInfo
-      .join(broadcast(links.select(col("surface"), col("uri"))), Seq("surface"), "left")
+      .join(if (useBroadcast) broadcast(linkSide) else linkSide, Seq("surface"), "left")
+      // minted IRI uses an md5 prefix (portable: identical in DuckDB,
+      // so the whole graph build is oracle-checkable end to end)
       .withColumn("iri", coalesce(col("uri"),
         concat(lit("https://kg.local/e/"), col("slug"), lit("-"),
-          substring(sha1(col("surface")), 1, 8))))
+          substring(md5(col("surface")), 1, 8))))
       .select(col("surface"), col("entity_type"), col("slug"), col("iri"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    surfaceIri.count() // force once; broadcast reuses the cache
+    surfaceIri.count() // force once; both join-back tiers reuse the cache
 
     val nodes = surfaceIri
       .groupBy(col("iri"))
@@ -125,19 +149,42 @@ object Pipeline {
       .select(col("iri"), col("n.entity_type").as("entity_type"),
         col("n.surface").as("name"), col("n.slug").as("slug"))
 
-    // Narrow projection: two broadcast joins, no shuffle, unique by
-    // construction (trip is deduped on the edge key).
-    val edges = trip.toDF
-      .join(broadcast(surfaceIri.select(col("surface").as("subj_surface"),
-        col("iri").as("src_iri"))), Seq("subj_surface"))
-      .join(broadcast(surfaceIri.select(col("surface").as("obj"),
-        col("iri").as("obj_iri"))), Seq("obj"), "left")
-      .select(
-        col("src_iri"), col("pred"),
-        when(col("obj_is_entity"), col("obj_iri")).otherwise(lit(null)).as("dst_iri"),
-        when(!col("obj_is_entity"), col("obj")).otherwise(lit(null)).as("obj_literal"),
-        (!col("obj_is_entity")).as("is_literal"),
-        col("url"), col("confidence"))
+    val edges = joinBackEdges(trip.toDF, surfaceIri, useBroadcast)
     (nodes, edges)
+  }
+
+  /** Resolve subj/obj surfaces to IRIs on the triple table.
+    * Broadcast tier: two broadcast joins, zero shuffle of triples.
+    * Shuffle tier: the triple side carries salt = crc32(url) % S and the
+    * vocabulary side is exploded across all S salts, so each (surface,
+    * salt) shuffle key holds ~1/S of a hot surface's rows. */
+  private def joinBackEdges(trip: DataFrame, surfaceIri: DataFrame,
+      useBroadcast: Boolean): DataFrame = {
+    val resolved =
+      if (useBroadcast) {
+        trip
+          .join(broadcast(surfaceIri.select(col("surface").as("subj_surface"),
+            col("iri").as("src_iri"))), Seq("subj_surface"))
+          .join(broadcast(surfaceIri.select(col("surface").as("obj"),
+            col("iri").as("obj_iri"))), Seq("obj"), "left")
+      } else {
+        val s = lit(joinBackSalts)
+        val salted = trip.withColumn("salt", pmod(crc32(col("url")), s).cast("int"))
+        val vocabSalted = surfaceIri
+          .select(col("surface"), col("iri"))
+          .withColumn("salt", explode(sequence(lit(0), s - 1)))
+        salted
+          .join(vocabSalted.select(col("surface").as("subj_surface"),
+            col("iri").as("src_iri"), col("salt")), Seq("subj_surface", "salt"))
+          .join(vocabSalted.select(col("surface").as("obj"),
+            col("iri").as("obj_iri"), col("salt")), Seq("obj", "salt"), "left")
+          .drop("salt")
+      }
+    resolved.select(
+      col("src_iri"), col("pred"),
+      when(col("obj_is_entity"), col("obj_iri")).otherwise(lit(null)).as("dst_iri"),
+      when(!col("obj_is_entity"), col("obj")).otherwise(lit(null)).as("obj_literal"),
+      (!col("obj_is_entity")).as("is_literal"),
+      col("url"), col("confidence"))
   }
 }

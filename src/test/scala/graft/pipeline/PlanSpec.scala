@@ -56,6 +56,32 @@ class PlanSpec extends SparkTestBase {
       "partial agg should be below (before) the exchange in the plan tree")
   }
 
+  test("forced large-vocab tier: join-back shuffles with salt, no vocab broadcast") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 100, 4))
+    val (_, edges) = Pipeline.graphFromTriples(trip, Corpus.kb(spark, 500),
+      broadcastVocabLimit = 0L) // force the open-vocabulary path
+    val plan = executedPlan(edges)
+    assert(!plan.contains("CartesianProduct"))
+    // the triple-side join keys must carry the salt (crc32 % S)
+    assert(plan.contains("crc32"), "salt term missing from the shuffle join-back:\n" + plan.take(1200))
+    // the vocabulary must be exploded across salts, not broadcast into the join
+    assert(plan.contains("explode"), "vocab side should replicate across salts")
+  }
+
+  test("size-tiered join-back: both tiers produce identical edges") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 120, 4))
+    val kb = Corpus.kb(spark, 500)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("url", "src_iri", "pred", "dst_iri", "obj_literal")
+        .collect().map(_.toSeq).toSeq
+    val (nB, eB) = Pipeline.graphFromTriples(trip, kb)
+    val (nS, eS) = Pipeline.graphFromTriples(trip, kb, broadcastVocabLimit = 0L)
+    assert(sorted(eB) == sorted(eS))
+    assert(nB.orderBy("iri").collect().map(_.toSeq).toSeq ==
+      nS.orderBy("iri").collect().map(_.toSeq).toSeq)
+    assert(eB.count() > 0)
+  }
+
   test("salted join variant spreads one hot key across all salts") {
     import spark.implicits._
     // one very hot mention key joined against the KB
