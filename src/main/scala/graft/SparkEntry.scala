@@ -59,6 +59,16 @@ object SparkEntry {
       val n = pagesFor(dir)
       Kg.entityTable(Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))))
     }),
+    // A4: latest entity of each type per document (max_by offset)
+    "kg_last_entity_of_type" -> ((s, dir) => {
+      val n = pagesFor(dir)
+      Kg.lastEntityOfType(
+        Kg.entityTable(Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n)))))))
+    }),
+    // A3: per-entity properties, last-write-wins (exploded map form)
+    "kg_entity_props" -> ((s, dir) => {
+      Kg.entityProps(Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))).toDF)
+    }),
     // A2+A5: coref alias sets + the per-document context summary string
     "kg_context_summary" -> ((s, dir) => {
       val n = pagesFor(dir)

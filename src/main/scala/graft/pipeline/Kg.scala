@@ -172,6 +172,45 @@ object Kg {
         col("n_mentions"))
   }
 
+  /** A4 latest-entity-of-type: the reference's get_last_entity_of_type
+    * (knowledge_buffer.rs:124-130) — per (url, entity_type), the entity
+    * whose first mention is LATEST in the document. The reference's
+    * max_by_key leaves equal-offset ties to HashMap iteration order
+    * (nondeterministic); we pin ties by name_lc (SURVEY.md §7.0
+    * determinism rule). Input: the entityTable frame. */
+  def lastEntityOfType(entities: DataFrame): DataFrame = {
+    entities
+      .groupBy(col("url"), col("entity_type"))
+      .agg(
+        max_by(col("canonical_name"),
+          struct(col("first_chunk_id"), col("first_mention_offset"), col("name_lc")))
+          .as("last_entity"),
+        count(lit(1)).as("n_of_type"))
+  }
+
+  /** A3 property accumulation: per-entity property map with LAST-write
+    * wins (knowledge_buffer.rs:66-73 — properties.insert overwrites, so
+    * the latest write per property key survives). Write order is the
+    * extraction emission order (chunk_id, sent_idx); equal-position
+    * ties pinned by obj. Returned exploded as (url, subj, pred,
+    * last_obj) rows — map_from_entries of these per (url, subj) is the
+    * reference's `properties` map (see propsMap). */
+  def entityProps(triples: DataFrame): DataFrame = {
+    triples
+      .groupBy(col("url"), col("subj"), col("pred"))
+      .agg(max_by(col("obj"),
+        struct(col("chunk_id"), col("sent_idx"), col("obj"))).as("last_obj"))
+  }
+
+  /** A3 map form: props MAP<STRING,STRING> per (url, subj), entries
+    * sorted by key for deterministic serialization. */
+  def propsMap(triples: DataFrame): DataFrame = {
+    entityProps(triples)
+      .groupBy(col("url"), col("subj"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("pred"), col("last_obj"))))).as("props"))
+  }
+
   /** A2 alias accumulation: lowercased coref aliases per canonical
     * entity, from the resolved mention maps (knowledge_buffer.rs:54-63 —
     * collect_set of lowercased aliases, sorted for determinism). */

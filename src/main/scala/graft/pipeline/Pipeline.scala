@@ -109,7 +109,8 @@ object Pipeline {
     * (url, subj, pred, obj) already makes edge rows unique, so there is
     * no additional dedup shuffle either way. */
   def graphFromTriples(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
-      broadcastVocabLimit: Long = defaultBroadcastVocabLimit): (DataFrame, DataFrame) = {
+      broadcastVocabLimit: Long = defaultBroadcastVocabLimit,
+      includeProps: Boolean = false): (DataFrame, DataFrame) = {
     // ONE big-table rollup: every distinct entity surface with its
     // deterministic representative (type, slug). classify() is a pure
     // function of the surface, so min_by just pins tie order.
@@ -142,12 +143,32 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     surfaceIri.count() // force once; both join-back tiers reuse the cache
 
-    val nodes = surfaceIri
+    val nodes0 = surfaceIri
       .groupBy(col("iri"))
       .agg(min_by(struct(col("entity_type"), col("surface"), col("slug")),
         struct(col("surface"), col("entity_type"))).as("n"))
       .select(col("iri"), col("n.entity_type").as("entity_type"),
         col("n.surface").as("name"), col("n.slug").as("slug"))
+    // A3 on the node table (opt-in: one extra big-table aggregation):
+    // props MAP<STRING,STRING> per IRI, last-write-wins per property.
+    // The reference buffer is per-document; across documents the write
+    // order is pinned by (url, chunk_id, sent_idx) — url ascending as
+    // the deterministic crawl-order stand-in (SURVEY.md §1 data model).
+    val nodes = if (!includeProps) nodes0 else {
+      val lastWrite = trip.toDF
+        .groupBy(col("subj_surface").as("surface"), col("pred"))
+        .agg(max_by(struct(col("obj"), col("url"), col("chunk_id"), col("sent_idx")),
+          struct(col("url"), col("chunk_id"), col("sent_idx"), col("obj"))).as("w"))
+      val byIri = lastWrite
+        .join(surfaceIri.select(col("surface"), col("iri")), Seq("surface"))
+        .groupBy(col("iri"), col("pred"))
+        .agg(max_by(col("w.obj"),
+          struct(col("w.url"), col("w.chunk_id"), col("w.sent_idx"), col("w.obj"))).as("last_obj"))
+        .groupBy(col("iri"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("pred"), col("last_obj"))))).as("props"))
+      nodes0.join(byIri, Seq("iri"), "left")
+    }
 
     val edges = joinBackEdges(trip.toDF, surfaceIri, useBroadcast)
     (nodes, edges)

@@ -1,22 +1,33 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stage 4: SHACL-like validation + confidence scoring over the flat
   * triple model — the column-level re-expression of RdfValidator
-  * (/root/reference/src/validation.rs:183-298).
+  * (/root/reference/src/validation.rs:94-318).
   *
-  * Per (url, subj) entity:
-  *  - required-property rules per Schema.org type (validation.rs:120-160:
-  *    Person/Organization/Place/Event require `name`; in the flat model
-  *    the name IS the subject surface, so the rule fires only when the
-  *    surface is blank) → Error, impact −0.2;
+  * Per (url, subj) entity, replicating every reference impact constant:
+  *  - basic-structure check (validation.rs:185-200: RdfDocument
+  *    .validate() fails on missing @context/@type; flat-model analogue:
+  *    blank subject or blank entity type) → Error, impact −0.5, and the
+  *    reference EARLY-RETURNS with confidence exactly 0.5 and no other
+  *    checks run;
+  *  - required-property rules (validation.rs:207-231): registered
+  *    ValidationRules checked per entity type; `name` is satisfied by
+  *    the subject surface (the flat model's name IS the surface), any
+  *    other property by a triple with that canonical predicate →
+  *    Error, impact −0.2 per missing property;
+  *  - ASK-style constraints (validation.rs:233-258: SPARQL ASK via
+  *    Oxigraph; offline analogue: a boolean Column predicate over the
+  *    per-entity frame), enabled like the reference's
+  *    enable_sparql_validation config → Warning, impact −0.15 when the
+  *    predicate is false;
   *  - date-format check on date predicates (validation.rs:258-272,
-  *    replicating the weak check: len==10 ∧ '-'@4 ∧ '-'@7) → Warning,
-  *    impact −0.05 per bad date property;
+  *    weak check: len==10 ∧ '-'@4 ∧ '-'@7) → Warning, −0.05 per bad
+  *    date property;
   *  - @id URI check (validation.rs:274-287: http:// or https://) →
-  *    Warning, impact −0.1;
+  *    Warning, −0.1;
   *  - confidence starts at 1.0, adds impacts, clamps to [0,1]
   *    (validation.rs:185,290);
   *  - valid ⇔ no Error violations ∧ confidence ≥ min_confidence (0.7)
@@ -26,6 +37,41 @@ object Validate {
 
   val minConfidence = 0.7 // validation.rs:46
 
+  /** A validation rule (validation.rs:22-30). `ask` is the offline
+    * analogue of sparql_ask: a predicate built from the per-entity
+    * columns (url, subj, entity_type, name, preds ARRAY<STRING>, iri);
+    * false ⇒ Warning −0.15. Custom rules register by passing extra
+    * instances to validateEntities (validation.rs:441-475 contract). */
+  final case class ValidationRule(
+      name: String,
+      description: String,
+      requiredProperties: Seq[String] = Nil,
+      entityType: Option[String] = None,
+      ask: Option[Column] = None)
+
+  /** The reference's with_schema_org_rules (validation.rs:119-161):
+    * Person/Organization/Place/Event require `name` — extended with the
+    * two extra entity types of our kernel type system. */
+  val schemaOrgRules: Seq[ValidationRule] = Seq(
+    ValidationRule("person_requires_name",
+      "A Person entity must have a 'name' property",
+      Seq("name"), Some("Person")),
+    ValidationRule("organization_requires_name",
+      "An Organization entity must have a 'name' property",
+      Seq("name"), Some("Organization")),
+    ValidationRule("place_requires_name",
+      "A Place entity must have a 'name' property",
+      Seq("name"), Some("Place")),
+    ValidationRule("event_requires_name",
+      "An Event entity should have a 'name' property",
+      Seq("name"), Some("Event")),
+    ValidationRule("educational_organization_requires_name",
+      "An EducationalOrganization entity must have a 'name' property",
+      Seq("name"), Some("EducationalOrganization")),
+    ValidationRule("airport_requires_name",
+      "An Airport entity must have a 'name' property",
+      Seq("name"), Some("Airport")))
+
   /** Stemmed forms of the date-validated properties
     * (validation.rs:258: birthDate, deathDate, datePublished,
     * dateCreated → birthdat, deathdat, datepublish, datecr...). */
@@ -33,67 +79,107 @@ object Validate {
     Seq("birthDate", "deathDate", "datePublished", "dateCreated")
       .map(graft.kernel.Porter.stemPredicate)
 
-  private val typesRequiringName =
-    Seq("Person", "Organization", "EducationalOrganization", "Place", "Event", "Airport")
+  private val violationSchema =
+    "array<struct<rule:string,message:string,severity:string,property:string,confidence_impact:double>>"
+
+  private def emptyViolations: Column = array().cast(violationSchema)
+
+  private def violation(rule: Column, message: Column, severity: String,
+      property: Column, impact: Double): Column =
+    struct(rule.as("rule"), message.as("message"), lit(severity).as("severity"),
+      property.as("property"), lit(impact).as("confidence_impact"))
 
   /** Triples (+ subject iri column name, optional) → per-entity
     * validation frame: url, subj, violations ARRAY<STRUCT>, confidence,
-    * valid. */
-  def validateEntities(triples: DataFrame, iriCol: Option[String] = None): DataFrame = {
+    * valid. `rules` defaults to the Schema.org set; append custom rules
+    * to register them; `enableAsk` gates ASK predicates like the
+    * reference's enable_sparql_validation. */
+  def validateEntities(triples: DataFrame, iriCol: Option[String] = None,
+      rules: Seq[ValidationRule] = schemaOrgRules,
+      enableAsk: Boolean = false): DataFrame = {
     val isDatePred = col("pred").isin(dateProps: _*)
     val badDate = isDatePred && !(length(col("obj")) === 10 &&
       substring(col("obj"), 5, 1) === "-" && substring(col("obj"), 8, 1) === "-")
 
     val perTriple = triples.select(
-      col("url"), col("subj"), col("subj_type"), col("subj_surface"),
-      when(badDate, struct(
-        lit("valid_date_format").as("rule"),
-        concat(col("pred"), lit(" must be in ISO 8601 format (YYYY-MM-DD)")).as("message"),
-        lit("Warning").as("severity"),
-        col("pred").as("property"),
-        lit(-0.05).as("confidence_impact"))).as("v"),
+      col("url"), col("subj"), col("subj_type"), col("subj_surface"), col("pred"),
+      when(badDate, violation(
+        lit("valid_date_format"),
+        concat(col("pred"), lit(" must be in ISO 8601 format (YYYY-MM-DD)")),
+        "Warning", col("pred"), -0.05)).as("v"),
       iriCol.map(col).getOrElse(lit(null).cast("string")).as("iri"))
 
-    perTriple
+    val perEntity = perTriple
       .groupBy(col("url"), col("subj"))
       .agg(
         min(col("subj_type")).as("entity_type"),
         min(col("subj_surface")).as("name"),
         min(col("iri")).as("iri"),
+        sort_array(collect_set(col("pred"))).as("preds"),
         // one date violation per distinct bad property (reference checks
         // each date property once per document, validation.rs:258)
         array_distinct(collect_list(col("v"))).as("date_violations"))
-      .withColumn("name_violation",
-        when(col("entity_type").isin(typesRequiringName: _*) &&
-          (col("name").isNull || length(trim(col("name"))) === 0),
-          array(struct(
-            lit("requires_name").as("rule"),
-            concat(lit("A "), col("entity_type"),
-              lit(" entity must have a 'name' property")).as("message"),
-            lit("Error").as("severity"),
-            lit("name").as("property"),
-            lit(-0.2).as("confidence_impact"))))
-          .otherwise(array().cast("array<struct<rule:string,message:string,severity:string,property:string,confidence_impact:double>>")))
-      .withColumn("uri_violation",
-        when(col("iri").isNotNull &&
-          !(col("iri").startsWith("http://") || col("iri").startsWith("https://")),
-          array(struct(
-            lit("valid_uri").as("rule"),
-            lit("@id must be a valid URI").as("message"),
-            lit("Warning").as("severity"),
-            lit("@id").as("property"),
-            lit(-0.1).as("confidence_impact"))))
-          .otherwise(array().cast("array<struct<rule:string,message:string,severity:string,property:string,confidence_impact:double>>")))
+
+    // rule applicability + required-property / ASK violations, built at
+    // plan time from the registered rule set
+    def applies(r: ValidationRule): Column =
+      r.entityType.map(t => col("entity_type") === t).getOrElse(lit(true))
+    def hasProp(p: String): Column =
+      if (p == "name") col("name").isNotNull && length(trim(col("name"))) > 0
+      else array_contains(col("preds"), p)
+    val ruleViolations: Column = {
+      val perRule = rules.flatMap { r =>
+        val required = r.requiredProperties.map { p =>
+          when(applies(r) && !hasProp(p),
+            array(violation(lit(r.name),
+              lit(s"Missing required property '$p': ${r.description}"),
+              "Error", lit(p), -0.2)))
+            .otherwise(emptyViolations)
+        }
+        val asked = r.ask.toSeq.map { pred =>
+          if (!enableAsk) emptyViolations
+          else when(applies(r) && !pred,
+            array(violation(lit(r.name),
+              lit(s"SPARQL validation failed: ${r.description}"),
+              "Warning", lit(null).cast("string"), -0.15)))
+            .otherwise(emptyViolations)
+        }
+        required ++ asked
+      }
+      if (perRule.isEmpty) emptyViolations else concat(perRule: _*)
+    }
+
+    val uriViolation =
+      when(col("iri").isNotNull &&
+        !(col("iri").startsWith("http://") || col("iri").startsWith("https://")),
+        array(violation(lit("valid_uri"), lit("@id must be a valid URI"),
+          "Warning", lit("@id"), -0.1)))
+        .otherwise(emptyViolations)
+
+    // basic structure (validation.rs:185-200): blank subject or blank
+    // type fails immediately — single violation, confidence EXACTLY 0.5
+    val structureBroken =
+      col("subj").isNull || length(trim(col("subj"))) === 0 ||
+        col("entity_type").isNull || length(trim(col("entity_type"))) === 0
+    val structureViolations = array(violation(lit("basic_structure"),
+      lit("Basic validation failed: missing @type/@context analogue " +
+        "(blank subject or entity type)"),
+      "Error", lit(null).cast("string"), -0.5))
+
+    perEntity
       .withColumn("violations",
-        concat(col("name_violation"), col("date_violations"), col("uri_violation")))
+        when(structureBroken, structureViolations)
+          .otherwise(concat(col("date_violations").cast(violationSchema),
+            ruleViolations, uriViolation)))
       .withColumn("confidence",
-        greatest(lit(0.0), least(lit(1.0),
-          lit(1.0) + aggregate(col("violations"), lit(0.0),
-            (acc, v) => acc + v.getField("confidence_impact")))))
+        when(structureBroken, lit(0.5)) // early-return semantics
+          .otherwise(greatest(lit(0.0), least(lit(1.0),
+            lit(1.0) + aggregate(col("violations"), lit(0.0),
+              (acc, v) => acc + v.getField("confidence_impact"))))))
       .withColumn("valid",
         !exists(col("violations"), v => v.getField("severity") === "Error") &&
           col("confidence") >= minConfidence)
-      .drop("date_violations", "name_violation", "uri_violation")
+      .drop("date_violations", "preds")
   }
 
   /** drop_invalid semantics (validation.rs:33-50): split triples into

@@ -56,6 +56,84 @@ class ValidateSpec extends SparkTestBase {
     assert(r.getAs[scala.collection.Seq[_]]("violations").isEmpty) // weak check on purpose
   }
 
+  test("structure violation: blank entity type fails hard at confidence exactly 0.5") {
+    // validation.rs:185-200: document.validate() failure early-returns
+    // with the single basic_structure Error and confidence 0.5
+    val r = validate(Seq(
+      trip("u1", "acme", "locat", "Lyon", subjType = "", surface = ""))).head()
+    val v = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("violations")
+    assert(v.length == 1) // early return: no other checks ran
+    assert(v.head.getAs[String]("rule") == "basic_structure")
+    assert(v.head.getAs[String]("severity") == "Error")
+    assert(v.head.getAs[Double]("confidence_impact") == -0.5)
+    assert(r.getAs[Double]("confidence") == 0.5)
+    assert(!r.getAs[Boolean]("valid"))
+  }
+
+  test("custom rule registration: required property fires Error (validation.rs:441-475)") {
+    import spark.implicits._
+    val rule = Validate.ValidationRule("test_rule", "Test requires foo",
+      requiredProperties = Seq("foo"))
+    val rows = Seq(trip("u1", "thing_x", "locat", "Lyon", subjType = "Thing",
+      surface = "Thing X"))
+    val r = Validate.validateEntities(rows.toDF,
+      rules = Validate.schemaOrgRules :+ rule).head()
+    val v = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("violations")
+    assert(v.exists(x => x.getAs[String]("rule") == "test_rule" &&
+      x.getAs[String]("severity") == "Error" &&
+      x.getAs[Double]("confidence_impact") == -0.2))
+    assert(!r.getAs[Boolean]("valid"))
+    // satisfied when a triple carries the canonical predicate
+    val ok = Validate.validateEntities(
+      Seq(trip("u1", "thing_x", "foo", "bar", subjType = "Thing",
+        surface = "Thing X")).toDF,
+      rules = Validate.schemaOrgRules :+ rule).head()
+    assert(ok.getAs[Boolean]("valid"))
+  }
+
+  test("ASK-style constraint: -0.15 Warning when predicate false, gated by enableAsk") {
+    import spark.implicits._
+    // ask analogue of validation.rs:233-258: person entities must carry
+    // a birth date triple
+    val rule = Validate.ValidationRule("person_has_birthdate",
+      "Person should state a birthDate",
+      entityType = Some("Person"),
+      ask = Some(array_contains(col("preds"), "birthdat")))
+    val rows = Seq(trip("u1", "alan_bean", "locat", "Lyon"))
+    val fired = Validate.validateEntities(rows.toDF,
+      rules = Validate.schemaOrgRules :+ rule, enableAsk = true).head()
+    val v = fired.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("violations")
+    assert(v.exists(x => x.getAs[String]("rule") == "person_has_birthdate" &&
+      x.getAs[String]("severity") == "Warning" &&
+      x.getAs[Double]("confidence_impact") == -0.15))
+    assert(math.abs(fired.getAs[Double]("confidence") - 0.85) < 1e-9)
+    assert(fired.getAs[Boolean]("valid")) // warning only
+    // disabled (the reference's enable_sparql_validation=false default)
+    val off = Validate.validateEntities(rows.toDF,
+      rules = Validate.schemaOrgRules :+ rule, enableAsk = false).head()
+    assert(off.getAs[scala.collection.Seq[_]]("violations").isEmpty)
+    // satisfied predicate fires nothing
+    val sat = Validate.validateEntities(
+      Seq(trip("u1", "alan_bean", "birthdat", "1932-03-15")).toDF,
+      rules = Validate.schemaOrgRules :+ rule, enableAsk = true).head()
+    assert(sat.getAs[scala.collection.Seq[_]]("violations").isEmpty)
+  }
+
+  test("every reference impact constant fires: -0.5 -0.2 -0.15 -0.1 -0.05") {
+    import spark.implicits._
+    // -0.1 valid_uri needs an iri column
+    val rows = Seq(trip("u1", "alan_bean", "birthdat", "1932-03-15"))
+      .toDF.withColumn("iri", lit("not-a-uri"))
+    val r = Validate.validateEntities(rows, iriCol = Some("iri")).head()
+    val v = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("violations")
+    assert(v.map(_.getAs[Double]("confidence_impact")) == Seq(-0.1))
+    assert(math.abs(r.getAs[Double]("confidence") - 0.9) < 1e-9)
+    // impacts covered across the suite: -0.5 (structure test), -0.2
+    // (missing name / custom rule), -0.15 (ask), -0.1 (here), -0.05
+    // (bad date) — this assertion just documents the full set
+    assert(Seq(-0.5, -0.2, -0.15, -0.1, -0.05).forall(_ < 0))
+  }
+
   test("splitByValidity drops triples of invalid entities only") {
     import spark.implicits._
     val rows = Seq(
