@@ -11,7 +11,12 @@ final case class MentionSpan(
 
 /** A raw extracted relation before normalization: subject surface form,
   * Schema.org property (pre-stemming), object (entity surface or
-  * literal), plus span provenance. */
+  * literal), plus span provenance: [sentStart, sentEnd) are character
+  * offsets of the supporting sentence INTO THE RESOLVED TEXT the
+  * relation was extracted from, and sourceText is that sentence — the
+  * reference Provenance text_span/source_text
+  * (/root/reference/src/types.rs:91-112, attached at
+  * extractor.rs:650-666), at sentence rather than whole-chunk grain. */
 final case class RawRelation(
     subj: String,
     subjType: String,
@@ -20,7 +25,10 @@ final case class RawRelation(
     objIsEntity: Boolean,
     objType: String,
     sentIdx: Int,
-    confidence: Double)
+    confidence: Double,
+    sentStart: Int = 0,
+    sentEnd: Int = 0,
+    sourceText: String = "")
 
 /** Deterministic mention detection + pattern relation extraction —
   * the model-free analogues of the reference's GLiNER NER
@@ -147,31 +155,44 @@ object Relations {
 
   /** Extract relations from resolved text, sentence by sentence. Each
     * sentence yields at most one relation (first matching pattern),
-    * mirroring the reference's one-fact-per-simple-sentence fixtures. */
+    * mirroring the reference's one-fact-per-simple-sentence fixtures.
+    * Sentence character offsets into `resolvedText` are tracked so every
+    * relation carries its span provenance (O6):
+    * resolvedText.substring(sentStart, sentEnd) == sourceText always. */
   def extract(resolvedText: String): Vector[RawRelation] = {
-    val sentences = resolvedText.split('.').filter(_.trim.nonEmpty)
+    val pieces = resolvedText.split('.')
     val out = Vector.newBuilder[RawRelation]
-    sentences.zipWithIndex.foreach { case (sentence0, sentIdx) =>
-      val sentence = sentence0.trim
-      paddedPatterns.find { case (vp, _, _) => sentence.contains(vp) }.foreach {
-        case (vp, prop, isDate) =>
-          val at = sentence.indexOf(vp)
-          val lhs = sentence.substring(0, at)
-          val rhs = sentence.substring(at + vp.length)
-          val subj = entityAtEnd(lhs)
-          val obj: Option[(String, Boolean, String)] =
-            if (isDate) Dates.findIso(rhs).map(d => (d, false, ""))
-            else entityAtStart(rhs).map(e => (e, true, classify(e)))
-          (subj, obj) match {
-            case (Some(s), Some((o, isEnt, oType)))
-                // Skip pronoun-surface arguments: the LLM spec resolves
-                // them to entities (extractor.rs:30-33); an unresolved
-                // sentence-initial "He" (the coref self-match quirk,
-                // coref.rs:474-482) must not mint a pronoun entity.
-                if Coref.classifyPronoun(s).isEmpty && Coref.classifyPronoun(o).isEmpty =>
-              out += RawRelation(s, classify(s), prop, o, isEnt, oType, sentIdx, 0.9)
-            case _ => ()
-          }
+    var pos = 0
+    var sentIdx = 0
+    pieces.foreach { piece =>
+      val pieceStart = pos
+      pos += piece.length + 1 // the '.' separator
+      if (piece.trim.nonEmpty) {
+        val sentence = piece.trim
+        val sentStart = pieceStart + piece.indexWhere(!_.isWhitespace)
+        val sentEnd = sentStart + sentence.length
+        paddedPatterns.find { case (vp, _, _) => sentence.contains(vp) }.foreach {
+          case (vp, prop, isDate) =>
+            val at = sentence.indexOf(vp)
+            val lhs = sentence.substring(0, at)
+            val rhs = sentence.substring(at + vp.length)
+            val subj = entityAtEnd(lhs)
+            val obj: Option[(String, Boolean, String)] =
+              if (isDate) Dates.findIso(rhs).map(d => (d, false, ""))
+              else entityAtStart(rhs).map(e => (e, true, classify(e)))
+            (subj, obj) match {
+              case (Some(s), Some((o, isEnt, oType)))
+                  // Skip pronoun-surface arguments: the LLM spec resolves
+                  // them to entities (extractor.rs:30-33); an unresolved
+                  // sentence-initial "He" (the coref self-match quirk,
+                  // coref.rs:474-482) must not mint a pronoun entity.
+                  if Coref.classifyPronoun(s).isEmpty && Coref.classifyPronoun(o).isEmpty =>
+                out += RawRelation(s, classify(s), prop, o, isEnt, oType, sentIdx, 0.9,
+                  sentStart, sentEnd, sentence)
+              case _ => ()
+            }
+        }
+        sentIdx += 1
       }
     }
     out.result()

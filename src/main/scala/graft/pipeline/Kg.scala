@@ -82,7 +82,10 @@ object Kg {
               chunk_id = r.chunk_id,
               sent_idx = rel.sentIdx,
               confidence = rel.confidence,
-              method = "rule-based")
+              method = "rule-based",
+              span_start = rel.sentStart,
+              span_end = rel.sentEnd,
+              source_text = rel.sourceText)
           }
           .filterNot(t => Relations.likelyIncorrect(t.pred))
       } catch { case _: Exception => Iterator.empty }
@@ -102,14 +105,16 @@ object Kg {
     // nondeterministic.
     val rest = struct(col("obj_slug"), col("subj_surface"), col("obj_is_entity"),
       col("subj_type"), col("obj_type"), col("chunk_id"), col("sent_idx"),
-      col("confidence"), col("method"))
+      col("confidence"), col("method"),
+      col("span_start"), col("span_end"), col("source_text"))
     t.toDF
       .groupBy(col("url"), col("subj"), col("pred"), col("obj"))
       .agg(min_by(rest, struct(col("chunk_id"), col("sent_idx"))).as("r"))
       .select(col("url"), col("subj"), col("pred"), col("obj"),
         col("r.obj_slug"), col("r.subj_surface"), col("r.obj_is_entity"),
         col("r.subj_type"), col("r.obj_type"), col("r.chunk_id"),
-        col("r.sent_idx"), col("r.confidence"), col("r.method"))
+        col("r.sent_idx"), col("r.confidence"), col("r.method"),
+        col("r.span_start"), col("r.span_end"), col("r.source_text"))
       .as[TripleRow]
   }
 
@@ -140,7 +145,8 @@ object Kg {
             TripleRow(p.url, Slug.slug(rel.subj), PredDict.canonical(rel.pred),
               rel.obj, if (rel.objIsEntity) Slug.slug(rel.obj) else "",
               rel.subj, rel.objIsEntity, rel.subjType, rel.objType,
-              c.id, rel.sentIdx, rel.confidence, "rule-based")
+              c.id, rel.sentIdx, rel.confidence, "rule-based",
+              rel.sentStart, rel.sentEnd, rel.sourceText)
           }.filterNot(t => Relations.likelyIncorrect(t.pred))
             .filter(t => seen.add((t.subj, t.pred, t.obj))) // first-wins A6
         }

@@ -41,7 +41,13 @@ final case class MentionRow(
     confidence: Double)
 
 /** Normalized triple with provenance (reference Provenance,
-  * /root/reference/src/types.rs:91-112, carried per-row). */
+  * /root/reference/src/types.rs:91-112, carried per-row).
+  * span_start/span_end index the supporting sentence into the RESOLVED
+  * chunk text (Coref.resolve(chunk).resolvedText — the text the
+  * reference also attaches, extractor.rs:654-656); source_text is that
+  * sentence, so every triple is traceable to the words that stated it
+  * without re-running the pipeline. Sentence grain, not the reference's
+  * whole-chunk grain: strictly more precise, and bounded per row. */
 final case class TripleRow(
     url: String,
     subj: String, // slugified subject (normalize.rs:27-31 convention)
@@ -55,7 +61,10 @@ final case class TripleRow(
     chunk_id: Int,
     sent_idx: Int,
     confidence: Double,
-    method: String)
+    method: String,
+    span_start: Int = 0,
+    span_end: Int = 0,
+    source_text: String = "")
 
 /** KB label row (SURVEY.md §1 KB store mapping). */
 final case class KbEntry(uri: String, label: String, label_lc: String, types: Seq[String])

@@ -201,11 +201,14 @@ object Pipeline {
             col("iri").as("obj_iri"), col("salt")), Seq("obj", "salt"), "left")
           .drop("salt")
       }
+    // O6: span provenance rides through to the edge table — every edge
+    // can be traced to the sentence (and chunk) that stated it
     resolved.select(
       col("src_iri"), col("pred"),
       when(col("obj_is_entity"), col("obj_iri")).otherwise(lit(null)).as("dst_iri"),
       when(!col("obj_is_entity"), col("obj")).otherwise(lit(null)).as("obj_literal"),
       (!col("obj_is_entity")).as("is_literal"),
-      col("url"), col("confidence"))
+      col("url"), col("confidence"),
+      col("chunk_id"), col("span_start"), col("span_end"), col("source_text"))
   }
 }

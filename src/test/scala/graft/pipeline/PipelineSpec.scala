@@ -75,6 +75,27 @@ class PipelineSpec extends SparkTestBase {
     assert(nodes.count() == nodes.select("iri").distinct().count())
   }
 
+  test("O6 span provenance: every triple's span slices its sentence out of the resolved chunk") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, 150, 4)
+    val trip = Kg.pagesToTriples(pages).collect()
+    assert(trip.nonEmpty)
+    // provenance columns non-null/meaningful for every rule-based triple
+    assert(trip.forall(t => t.method == "rule-based" &&
+      t.source_text.nonEmpty && t.span_end > t.span_start))
+    // recompute each page's resolved chunk texts with the kernel and
+    // slice the span back out: substring(span_start, span_end) must be
+    // exactly source_text, and source_text must contain the object
+    val resolvedByKey = Kg.resolve(Kg.chunk(Kg.extractText(pages)))
+      .collect().map(r => (r.url, r.chunk_id) -> r.resolved_text).toMap
+    trip.foreach { t =>
+      val resolved = resolvedByKey((t.url, t.chunk_id))
+      val slice = resolved.substring(t.span_start, t.span_end)
+      assert(slice == t.source_text,
+        s"span mismatch for ${t.url} chunk ${t.chunk_id}: '$slice' != '${t.source_text}'")
+    }
+  }
+
   test("coref feeds triples: It-pages yield foundedBy facts") {
     import spark.implicits._
     val pages = Corpus.pages(spark, N, 8)
