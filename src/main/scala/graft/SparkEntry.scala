@@ -59,6 +59,10 @@ object SparkEntry {
       val n = pagesFor(dir)
       Kg.entityTable(Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))))
     }),
+    // T4⁻¹: JSON-LD document emission (the reference's native output)
+    "kg_jsonld_docs" -> ((s, dir) => {
+      Pipeline.jsonLdDocuments(Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))))
+    }),
     // A4: latest entity of each type per document (max_by offset)
     "kg_last_entity_of_type" -> ((s, dir) => {
       val n = pagesFor(dir)

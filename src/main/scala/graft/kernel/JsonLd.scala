@@ -216,6 +216,81 @@ object JsonLd {
     else None
   }
 
+  // ---- T4⁻¹: JSON-LD document EMISSION (inverse of flatten) ----
+  // The reference's native output is an RdfDocument: @context +
+  // single-entity data, or @context + @graph[...] after merge_chunks
+  // (/root/reference/src/types.rs:170-196, extractor.rs:495-550).
+
+  /** Compact JSON serializer for JVal (insertion order preserved). */
+  def render(v: JVal): String = {
+    val sb = new StringBuilder
+    def esc(s: String): Unit = {
+      sb.append('"')
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+    }
+    def walk(x: JVal): Unit = x match {
+      case JObj(fields) =>
+        sb.append('{')
+        fields.zipWithIndex.foreach { case ((k, fv), i) =>
+          if (i > 0) sb.append(',')
+          esc(k); sb.append(':'); walk(fv)
+        }
+        sb.append('}')
+      case JArr(items) =>
+        sb.append('[')
+        items.zipWithIndex.foreach { case (it, i) =>
+          if (i > 0) sb.append(','); walk(it)
+        }
+        sb.append(']')
+      case JStr(s) => esc(s)
+      case JNum(r) => sb.append(r)
+      case JBool(b) => sb.append(b)
+      case JNull => sb.append("null")
+    }
+    walk(v)
+    sb.toString
+  }
+
+  /** One JSON-LD entity object: @type, name, then properties in the
+    * given order. Multi-valued properties become arrays (flatten emits
+    * one triple per element, so the round-trip holds). */
+  def emitEntity(name: String, entityType: String,
+      props: Vector[(String, Vector[JVal])]): JObj = {
+    val fields = Vector.newBuilder[(String, JVal)]
+    fields += ("@type" -> JStr(entityType))
+    fields += ("name" -> JStr(name))
+    props.foreach { case (key, values) =>
+      fields += (key -> (if (values.length == 1) values.head else JArr(values)))
+    }
+    JObj(fields.result())
+  }
+
+  /** Nested entity value: {"@type": t, "name": n} (the simple variant —
+    * nested entities carry only a name, extractor.rs:14-117 spec). */
+  def emitNested(name: String, entityType: String): JObj =
+    JObj(Vector("@type" -> JStr(entityType), "name" -> JStr(name)))
+
+  /** Document from entities, replicating merge_chunks' shape exactly
+    * (extractor.rs:495-550): 0 entities → {"@context":...}; 1 → the
+    * entity direct; n → @context + @graph array. */
+  def emitDocument(entities: Vector[JObj]): JVal = {
+    val ctx = "@context" -> JStr("https://schema.org/")
+    entities match {
+      case Vector() => JObj(Vector(ctx))
+      case Vector(e) => JObj(ctx +: e.fields)
+      case many => JObj(Vector(ctx, "@graph" -> JArr(many.map(identity))))
+    }
+  }
+
   /** P6 selective normalization on the parsed tree: slug the ROOT
     * `name` only; preserve nested names (normalize.rs:98-142; goldens
     * normalize.rs:202-265). Returns the root name before/after. */

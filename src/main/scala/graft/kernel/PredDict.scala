@@ -50,4 +50,15 @@ object PredDict {
     val mapped = wikidataToSchema.getOrElse(raw, raw)
     Porter.stemPredicate(mapped)
   }
+
+  /** Inverse map for JSON-LD emission: canonical (stemmed) predicate →
+    * the Schema.org property it came from (birthdat → birthDate). Stems
+    * are unique over the dictionary (pinned by KernelSpec). Unknown
+    * canonicals pass through unchanged. */
+  val canonicalToSchema: Map[String, String] =
+    (wikidataToSchema.values ++ surfaceToSchema.values).toSeq.distinct
+      .map(p => Porter.stemPredicate(p) -> p).toMap
+
+  def schemaProperty(canonicalPred: String): String =
+    canonicalToSchema.getOrElse(canonicalPred, canonicalPred)
 }

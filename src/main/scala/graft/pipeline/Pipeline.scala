@@ -174,6 +174,43 @@ object Pipeline {
     (nodes, edges)
   }
 
+  /** JSON-LD document emission (the reference's NATIVE output format:
+    * RdfDocument @context/@graph, types.rs:170-196) — one JSON document
+    * per url, entities in first-appearance order, each with @type/name
+    * and its properties un-stemmed back to Schema.org keys; nested
+    * entity values carry {"@type", "name"} per the extraction spec.
+    * Round-trip law (tested): JsonLd.flatten(emit(url's triples))
+    * reproduces exactly the (subj, pred, obj) set of those triples.
+    *
+    * Shape: one groupByKey shuffle on url (the document key), then pure
+    * per-group string assembly — O(doc) memory per group, no driver
+    * collection. */
+  def jsonLdDocuments(trip: Dataset[TripleRow]): DataFrame = {
+    val spark = trip.sparkSession
+    import spark.implicits._
+    import graft.kernel.{JsonLd, JVal, PredDict}
+    import graft.kernel.JVal.JStr
+    trip.groupByKey(_.url).mapGroups { (url, it) =>
+      val rows = it.toVector.sortBy(t => (t.chunk_id, t.sent_idx, t.pred, t.obj))
+      // subjects in first-appearance order; properties in emission order
+      val bySubj = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, String, scala.collection.mutable.LinkedHashMap[String, Vector[JVal]])]
+      rows.foreach { t =>
+        val (_, _, props) = bySubj.getOrElseUpdate(t.subj,
+          (t.subj_surface, t.subj_type,
+            scala.collection.mutable.LinkedHashMap.empty[String, Vector[JVal]]))
+        val key = PredDict.schemaProperty(t.pred)
+        val value: JVal =
+          if (t.obj_is_entity) JsonLd.emitNested(t.obj, t.obj_type) else JStr(t.obj)
+        props.update(key, props.getOrElse(key, Vector.empty) :+ value)
+      }
+      val entities = bySubj.valuesIterator.map { case (name, tpe, props) =>
+        JsonLd.emitEntity(name, tpe, props.toVector)
+      }.toVector
+      (url, JsonLd.render(JsonLd.emitDocument(entities)))
+    }.toDF("url", "jsonld")
+  }
+
   /** Resolve subj/obj surfaces to IRIs on the triple table.
     * Broadcast tier: two broadcast joins, zero shuffle of triples.
     * Shuffle tier: the triple side carries salt = crc32(url) % S and the

@@ -121,6 +121,59 @@ class JsonLdSpec extends AnyFunSuite {
     }
   }
 
+  test("emit reproduces the fixture expected_jsonld trees (types.rs:170-196 shape)") {
+    import JVal._
+    // case 1: single entity, literal property
+    val doc1 = JsonLd.emitDocument(Vector(JsonLd.emitEntity(
+      "Alan Bean", "Person",
+      Vector("birthDate" -> Vector(JStr("1932-03-15"))))))
+    val want1 = JsonParser.parse(
+      """{"@context":"https://schema.org/","@type":"Person",
+         "name":"Alan Bean","birthDate":"1932-03-15"}""").toOption.get
+    assert(doc1 == want1)
+    // case 2: nested entity value carries @type + name only
+    val doc2 = JsonLd.emitDocument(Vector(JsonLd.emitEntity(
+      "Alan Bean", "Person",
+      Vector("alumniOf" -> Vector(JsonLd.emitNested("UT Austin", "EducationalOrganization"))))))
+    val want2 = JsonParser.parse(
+      """{"@context":"https://schema.org/","@type":"Person","name":"Alan Bean",
+         "alumniOf":{"@type":"EducationalOrganization","name":"UT Austin"}}""").toOption.get
+    assert(doc2 == want2)
+    // merge shape: 0 entities -> context only; n -> @graph
+    assert(JsonLd.render(JsonLd.emitDocument(Vector())) ==
+      """{"@context":"https://schema.org/"}""")
+    val multi = JsonLd.emitDocument(Vector(
+      JsonLd.emitNested("A", "Person"), JsonLd.emitNested("B", "Place")))
+    assert(multi.asInstanceOf[JObj].get("@graph").nonEmpty)
+  }
+
+  test("flatten(emit(x)) == x: emitted docs flatten back to their exact triples") {
+    import JVal._
+    val doc = JsonLd.emitDocument(Vector(
+      JsonLd.emitEntity("Alan Bean", "Person", Vector(
+        "birthDate" -> Vector(JStr("1932-03-15")),
+        "alumniOf" -> Vector(JsonLd.emitNested("UT Austin", "EducationalOrganization")),
+        // multi-valued property round-trips through a JSON array
+        "worksFor" -> Vector(JsonLd.emitNested("Acme Corp", "Organization"),
+          JsonLd.emitNested("Globex Inc", "Organization")))),
+      JsonLd.emitEntity("Acme Corp", "Organization", Vector(
+        "location" -> Vector(JsonLd.emitNested("Lyon", "Place"))))))
+    val got = JsonLd.flatten(JsonLd.render(doc))
+    assert(got.toSet == Set(
+      JsonLd.FlatTriple("alan_bean", "birthdat", "1932-03-15"),
+      JsonLd.FlatTriple("alan_bean", "alumniof", "UT Austin"),
+      JsonLd.FlatTriple("alan_bean", "worksfor", "Acme Corp"),
+      JsonLd.FlatTriple("alan_bean", "worksfor", "Globex Inc"),
+      JsonLd.FlatTriple("acme_corp", "locat", "Lyon")))
+  }
+
+  test("render/parse is an exact inverse on every fixture document") {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/fixtures/test_cases.json")), "UTF-8")
+    val parsed = JsonParser.parse(raw).toOption.get
+    assert(JsonParser.parse(JsonLd.render(parsed)) == Right(parsed))
+  }
+
   private def extractJsonObject(s: String, start: Int): String = {
     var depth = 0; var i = start; var inStr = false
     while (i < s.length) {

@@ -96,6 +96,23 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("JSON-LD emission: every document flattens back to exactly its triples") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 100, 4))
+    val docs = Pipeline.jsonLdDocuments(trip).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = trip.collect().groupBy(_.url)
+      .map { case (u, ts) => u -> ts.map(t => (t.subj, t.pred, t.obj)).toSet }
+    assert(want.nonEmpty && docs.keySet == want.keySet)
+    want.foreach { case (u, triples) =>
+      val got = graft.kernel.JsonLd.flatten(docs(u))
+        .map(f => (f.subject, f.predicate, f.objectValue)).toSet
+      assert(got == triples, s"round-trip mismatch for $u")
+    }
+    // emitted docs carry the reference @context and Schema.org keys
+    assert(docs.values.forall(_.startsWith("""{"@context":"https://schema.org/"""")))
+    assert(docs.values.exists(_.contains("\"birthDate\"")))
+  }
+
   test("coref feeds triples: It-pages yield foundedBy facts") {
     import spark.implicits._
     val pages = Corpus.pages(spark, N, 8)
