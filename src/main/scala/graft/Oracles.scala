@@ -1,0 +1,389 @@
+package graft
+
+import graft.kernel.{Porter, PredDict}
+import graft.ops.Similarity
+import graft.pipeline.Validate
+
+/** DuckDB oracle SQL for the queries whose inputs are not driver tables:
+  * the kg_* pipeline queries read kernel-computed intermediates that
+  * Verify dumps under `{OUT}/_inputs/` (the `{OUT}` placeholder is
+  * replaced with the absolute output directory by Verify), and the
+  * hash/ANN queries embed the engine's own deterministic constants
+  * (md5 is bit-identical across engines; hyperplane/centroid components
+  * are emitted at full double precision).
+  *
+  * Oracle discipline: each SQL re-implements exactly ONE stage from its
+  * UPSTREAM artifact — the kernel NLP itself is gated by ScalaTest
+  * goldens, and everything relational after it is re-derived
+  * independently here, so a bug in any aggregation/join/window shows up
+  * as a driver hash mismatch.
+  */
+object Oracles {
+
+  private def inp(name: String) = s"read_parquet('{OUT}/_inputs/$name/*.parquet')"
+  private def out(name: String) = s"read_parquet('{OUT}/$name/*.parquet')"
+
+  /** 60-bit md5 hash: DuckDB equivalent of
+    * conv(substring(md5(x),1,15),16,10) — hex-literal cast. */
+  private def md5Long(expr: String) = s"('0x'||substr(md5($expr),1,15))::BIGINT"
+
+  private val minhashP = 2147483647L
+
+  /** Full-precision SQL literal of a double (shortest round-trip form;
+    * DuckDB's strtod is correctly rounded, so the parsed value is
+    * bit-identical). */
+  private def dlit(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E")) s.replace("E", "e") else s
+  }
+
+  /** Left-associative dot-product chain vec[1]*c0 + vec[2]*c1 + ... —
+    * the same fold order as the Column reduce(_ + _), so the double
+    * result is bit-identical. */
+  private def dotChain(vecExpr: String, weights: Array[Double]): String =
+    weights.zipWithIndex
+      .map { case (w, d) => s"$vecExpr[${d + 1}]::DOUBLE * ${dlit(w)}" }
+      .mkString(" + ")
+
+  private def lshBucketExpr(vecExpr: String, dim: Int, nBits: Int): String =
+    (0 until nBits).map { bit =>
+      val planes = Array.tabulate(dim)(d => Similarity.planeComponent(bit, d))
+      s"(CASE WHEN ${dotChain(vecExpr, planes)} > 0 THEN ${1L << bit} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---------------- training-data ops over driver tables ----------------
+
+  val qDedupSimhash: String = {
+    val votes = (0 until 64).map { b =>
+      s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS v$b"
+    }.mkString(", ")
+    val bits = (0 until 64).map { b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id,
+          list_transform(string_split(regexp_replace(lower(text),'\\s+',' ','g'),' '),
+            tk -> ${md5Long("tk")}) AS hs FROM documents),
+        v AS (SELECT doc_id, $votes FROM h)
+        SELECT doc_id, ($bits) AS simhash FROM v"""
+  }
+
+  val qDedupMinhashLsh: String = {
+    val sig = (0 until 32).map { i =>
+      val a = 2L * i + 1L
+      val b = 1000003L * (i + 1)
+      s"list_min(list_transform(hl, h -> (h*$a + $b) % $minhashP))"
+    }.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id,
+          string_split(regexp_replace(lower(text),'\\s+',' ','g'),' ') AS toks FROM documents),
+        sh AS (SELECT doc_id, list_transform(range(0, greatest(len(toks)-3,0)+1),
+          i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) AS shingles FROM d),
+        hs AS (SELECT doc_id,
+          list_transform(shingles, s -> ${md5Long("s")} % $minhashP) AS hl FROM sh),
+        sg AS (SELECT doc_id, $sig AS sig FROM hs),
+        bb AS (SELECT doc_id, unnest(range(0, 8)) AS band,
+          unnest(list_transform(range(0, 8),
+            b -> md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')))) AS bucket FROM sg)
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+  }
+
+  val qKnnLsh: String = {
+    val bucket = lshBucketExpr("embedding", 64, 4)
+    s"""WITH cb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        qb AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM cb WHERE vec_id < 3),
+        s AS (SELECT qb.qid, cb.vec_id,
+                list_cosine_similarity(cb.embedding::DOUBLE[], qb.qvec::DOUBLE[]) AS cos
+              FROM cb JOIN qb USING (bucket))
+        SELECT qid, vec_id, rank, round(cos, 3) AS cos_sim FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM s) WHERE rank <= 5"""
+  }
+
+  val qKnnIvf: String = {
+    val scores = (0 until 8).map { c =>
+      s"(${dotChain("embedding", Similarity.ivfCentroid(c, 64))})"
+    }.mkString("[", ", ", "]")
+    s"""WITH cb0 AS (SELECT vec_id, embedding, $scores AS cs FROM embeddings),
+        cb AS (SELECT vec_id, embedding,
+                 list_position(cs, list_max(cs)) - 1 AS centroid FROM cb0),
+        qp AS (SELECT qid, qvec, centroid FROM (
+                 SELECT vec_id AS qid, embedding AS qvec,
+                   unnest(range(0, 8)) AS centroid, unnest(cs) AS score
+                 FROM cb0 WHERE vec_id < 3)
+               QUALIFY row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, centroid DESC) <= 4),
+        s AS (SELECT qp.qid, cb.vec_id,
+                list_cosine_similarity(cb.embedding::DOUBLE[], qp.qvec::DOUBLE[]) AS cos
+              FROM cb JOIN qp USING (centroid))
+        SELECT qid, vec_id, rank, round(cos, 3) AS cos_sim FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM s) WHERE rank <= 5"""
+  }
+
+  val qDedupEmbedding: String = {
+    val bucket = lshBucketExpr("embedding", 64, 8)
+    s"""WITH cb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cos_sim
+        FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2"""
+  }
+
+  val qMultimodalResize: String =
+    s"""SELECT img_id, width, height, channels,
+        CAST(floor(width * (CASE WHEN greatest(width, height) > 256
+          THEN 256 / greatest(width, height)::DOUBLE ELSE 1.0::DOUBLE END)) AS INT) AS out_width,
+        CAST(floor(height * (CASE WHEN greatest(width, height) > 256
+          THEN 256 / greatest(width, height)::DOUBLE ELSE 1.0::DOUBLE END)) AS INT) AS out_height,
+        label
+        FROM ${inp("images_meta")}"""
+
+  // ---------------- kg pipeline stages over dumped intermediates ----------------
+
+  /** P/R = 1.0 is a tested invariant of the closed corpus, so the gold
+    * table IS the expected deduped triple set — the strongest oracle:
+    * the whole NLP pipeline must reproduce it exactly. */
+  val kgTriples: String =
+    s"""SELECT url, subj, pred, obj FROM ${inp("gold")}"""
+
+  val kgEvalPrf: String =
+    s"""WITH p AS (SELECT DISTINCT url, subj, pred, obj FROM ${out("kg_triples")}),
+        g AS (SELECT DISTINCT url, subj, pred, obj FROM ${inp("gold")}),
+        j AS (SELECT CASE WHEN p.url IS NOT NULL AND g.url IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+                     CASE WHEN p.url IS NOT NULL AND g.url IS NULL THEN 1 ELSE 0 END AS is_fp,
+                     CASE WHEN p.url IS NULL AND g.url IS NOT NULL THEN 1 ELSE 0 END AS is_fn
+              FROM p FULL OUTER JOIN g
+                ON p.url = g.url AND p.subj = g.subj AND p.pred = g.pred AND p.obj = g.obj),
+        c AS (SELECT CAST(sum(is_tp) AS BIGINT) AS tp, CAST(sum(is_fp) AS BIGINT) AS fp,
+                     CAST(sum(is_fn) AS BIGINT) AS fn FROM j)
+        SELECT tp, fp, fn,
+          tp / (tp + fp) AS precision, tp / (tp + fn) AS recall,
+          2 * (tp / (tp + fp)) * (tp / (tp + fn)) /
+            ((tp / (tp + fp)) + (tp / (tp + fn))) AS f1
+        FROM c"""
+
+  val kgEvalAggregate: String =
+    s"""WITH p AS (SELECT DISTINCT url, subj, pred, obj FROM ${out("kg_triples")}),
+        g AS (SELECT DISTINCT url, subj, pred, obj FROM ${inp("gold")}),
+        j AS (SELECT coalesce(p.url, g.url) AS url,
+                     CASE WHEN p.url IS NOT NULL AND g.url IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+                     CASE WHEN p.url IS NOT NULL AND g.url IS NULL THEN 1 ELSE 0 END AS is_fp,
+                     CASE WHEN p.url IS NULL AND g.url IS NOT NULL THEN 1 ELSE 0 END AS is_fn
+              FROM p FULL OUTER JOIN g
+                ON p.url = g.url AND p.subj = g.subj AND p.pred = g.pred AND p.obj = g.obj),
+        pc AS (SELECT url, sum(is_tp) AS tp, sum(is_fp) AS fp, sum(is_fn) AS fn
+               FROM j GROUP BY url),
+        pm AS (SELECT url, tp, fp, fn,
+                 CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+                 CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall
+               FROM pc),
+        pf AS (SELECT *, CASE WHEN precision + recall = 0 THEN 0.0
+                 ELSE 2 * precision * recall / (precision + recall) END AS f1 FROM pm)
+        SELECT CAST(count(*) AS BIGINT) AS n_cases,
+          round(avg(precision), 6) AS avg_precision,
+          round(avg(recall), 6) AS avg_recall,
+          round(avg(f1), 6) AS avg_f1,
+          CAST(sum(tp) AS BIGINT) AS total_tp,
+          CAST(sum(fp) AS BIGINT) AS total_fp,
+          CAST(sum(fn) AS BIGINT) AS total_fn
+        FROM pf"""
+
+  val kgEntityTable: String =
+    s"""SELECT url, name_lc, canonical_name, entity_type, first_chunk_id,
+          first_mention_offset, n_mentions FROM (
+          SELECT url, lower(surface) AS name_lc, surface AS canonical_name,
+            entity_type, chunk_id AS first_chunk_id, "start" AS first_mention_offset,
+            row_number() OVER (PARTITION BY url, lower(surface)
+              ORDER BY chunk_id, "start") AS rn,
+            CAST(count(*) OVER (PARTITION BY url, lower(surface)) AS BIGINT) AS n_mentions
+          FROM ${inp("mentions")})
+        WHERE rn = 1"""
+
+  val kgLastEntityOfType: String =
+    s"""SELECT url, entity_type, last_entity, n_of_type FROM (
+          SELECT url, entity_type, canonical_name AS last_entity,
+            row_number() OVER (PARTITION BY url, entity_type
+              ORDER BY first_chunk_id DESC, first_mention_offset DESC, name_lc DESC) AS rn,
+            CAST(count(*) OVER (PARTITION BY url, entity_type) AS BIGINT) AS n_of_type
+          FROM ${out("kg_entity_table")})
+        WHERE rn = 1"""
+
+  val kgEntityProps: String =
+    s"""SELECT url, subj, pred, obj AS last_obj FROM (
+          SELECT url, subj, pred, obj,
+            row_number() OVER (PARTITION BY url, subj, pred
+              ORDER BY chunk_id DESC, sent_idx DESC, obj DESC) AS rn
+          FROM ${inp("triples")})
+        WHERE rn = 1"""
+
+  val kgContextSummary: String =
+    s"""WITH l AS (SELECT e.url,
+          '- ' || e.canonical_name || ' (' || e.entity_type || ')' ||
+          CASE WHEN a.aliases IS NOT NULL AND len(a.aliases) > 0
+               THEN ' [also called: ' || array_to_string(a.aliases, ', ') || ']'
+               ELSE '' END AS line
+        FROM ${out("kg_entity_table")} e
+        LEFT JOIN ${inp("aliases")} a
+          ON e.url = a.url AND e.name_lc = a.canonical_lc)
+        SELECT url,
+          'ENTITIES ALREADY DISCOVERED IN THIS DOCUMENT:' || chr(10) ||
+            string_agg(line, chr(10) ORDER BY line) AS context_summary,
+          CAST(count(*) AS BIGINT) AS n_entities
+        FROM l GROUP BY url"""
+
+  val kgValidate: String = {
+    val dateList = Validate.dateProps.map(p => s"'$p'").mkString(", ")
+    val nameTypes = Seq("Person", "Organization", "EducationalOrganization",
+      "Place", "Event", "Airport").map(t => s"'$t'").mkString(", ")
+    s"""WITH e AS (SELECT url, subj,
+          min(subj_type) AS entity_type, min(subj_surface) AS name,
+          count(DISTINCT CASE WHEN pred IN ($dateList)
+            AND NOT (length(obj) = 10 AND substr(obj,5,1) = '-' AND substr(obj,8,1) = '-')
+            THEN pred END) AS n_bad_dates
+        FROM ${inp("triples")} GROUP BY url, subj),
+        v AS (SELECT url, subj, n_bad_dates,
+          CASE WHEN subj IS NULL OR length(trim(subj)) = 0
+                 OR entity_type IS NULL OR length(trim(entity_type)) = 0
+               THEN 1 ELSE 0 END AS broken,
+          CASE WHEN entity_type IN ($nameTypes)
+                 AND (name IS NULL OR length(trim(name)) = 0)
+               THEN 1 ELSE 0 END AS name_missing
+        FROM e),
+        c AS (SELECT url, subj, broken, name_missing, n_bad_dates,
+          CASE WHEN broken = 1 THEN 0.5::DOUBLE
+               ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE,
+                 1.0::DOUBLE - 0.2::DOUBLE*name_missing - 0.05::DOUBLE*n_bad_dates))
+          END AS conf
+        FROM v)
+        SELECT url, subj,
+          CAST(CASE WHEN broken = 1 THEN 1 ELSE name_missing + n_bad_dates END AS INT)
+            AS n_violations,
+          round(conf, 4) AS confidence,
+          (broken = 0 AND name_missing = 0 AND conf >= 0.7) AS valid
+        FROM c"""
+  }
+
+  val kgWindowedCounts: String =
+    s"""SELECT date_trunc('hour', p.warc_ts) AS win_start, t.pred,
+          CAST(count(*) AS BIGINT) AS n_triples
+        FROM ${out("kg_triples")} t
+        JOIN ${inp("pages_ts")} p USING (url)
+        GROUP BY 1, 2"""
+
+  private val predCase: String = {
+    val whens = PredDict.wikidataToSchema.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN '$k' THEN '${Porter.stemPredicate(v)}'"
+    }.mkString(" ")
+    s"CASE r $whens END"
+  }
+  private val wikidataKeys: String =
+    PredDict.wikidataToSchema.keys.toSeq.sorted.map(k => s"'$k'").mkString(", ")
+
+  /** Slug via regexp — exact parity with the kernel on letter/space
+    * names (pinned by the q_slug oracle round 1). */
+  private def slugExpr(e: String) =
+    s"trim(regexp_replace(lower($e), '[^a-z0-9]+', '_', 'g'), '_')"
+
+  private val docredDenormBody: String =
+    s"""fm AS (SELECT id,
+          unnest(range(len(vertexSet))) AS vidx,
+          unnest(list_transform(vertexSet, c -> c[1].name)) AS first_name,
+          unnest(list_transform(vertexSet, c -> c[1].sent_id)) AS first_sent
+        FROM ${inp("docred")}),
+        lab AS (SELECT id, u.h AS h, u.t AS t, u.r AS r FROM (
+          SELECT id, unnest(labels) AS u FROM ${inp("docred")})
+          WHERE u.r IN ($wikidataKeys)),
+        den AS (SELECT lab.id,
+          ${slugExpr("hm.first_name")} AS subj,
+          $predCase AS pred,
+          tm.first_name AS obj,
+          hm.first_sent AS h_sent, tm.first_sent AS t_sent
+        FROM lab
+        JOIN fm hm ON lab.id = hm.id AND lab.h = hm.vidx
+        JOIN fm tm ON lab.id = tm.id AND lab.t = tm.vidx)"""
+
+  val kgDocredDenorm: String =
+    s"""WITH $docredDenormBody SELECT id, subj, pred, obj, h_sent, t_sent FROM den"""
+
+  val kgDocredCrossSentence: String =
+    s"""WITH $docredDenormBody
+        SELECT id, CAST(count(*) AS BIGINT) AS n_relations,
+          CAST(sum(CASE WHEN h_sent <> t_sent THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cross_sentence
+        FROM den GROUP BY id"""
+
+  /** Linking (J1-J5) re-implemented in SQL: exact case-insensitive match
+    * at 0.95, else first-token-blocked Jaro-Winkler >= 0.8, top-1 per
+    * surface by (confidence desc, uri asc). DuckDB's
+    * jaro_winkler_similarity uses the standard parameters (prefix 4,
+    * scale 0.1, boost threshold 0.7) — the same algorithm as the kernel. */
+  val kgLinks: String =
+    s"""WITH s AS (SELECT DISTINCT surface, lower(surface) AS surface_lc FROM (
+          SELECT subj_surface AS surface FROM ${inp("triples")}
+          UNION ALL
+          SELECT obj AS surface FROM ${inp("triples")} WHERE obj_is_entity)),
+        kb AS (SELECT uri, label_lc FROM ${inp("kb")}),
+        ex AS (SELECT s.surface, kb.uri, 0.95::DOUBLE AS confidence
+               FROM s JOIN kb ON s.surface_lc = kb.label_lc),
+        miss AS (SELECT * FROM s
+                 WHERE surface_lc NOT IN (SELECT label_lc FROM kb)),
+        fz0 AS (SELECT m.surface, kb.uri,
+                  jaro_winkler_similarity(kb.label_lc, m.surface_lc) AS confidence
+                FROM miss m JOIN kb
+                  ON split_part(m.surface_lc, ' ', 1) = split_part(kb.label_lc, ' ', 1)),
+        fz AS (SELECT surface, uri, confidence FROM (
+                 SELECT *, row_number() OVER (PARTITION BY surface
+                   ORDER BY confidence DESC, uri ASC) AS rn
+                 FROM fz0 WHERE confidence >= 0.8 AND confidence >= 0.5)
+               WHERE rn = 1)
+        SELECT surface, uri, round(confidence, 4) AS link_confidence FROM ex
+        UNION ALL
+        SELECT surface, uri, round(confidence, 4) AS link_confidence FROM fz"""
+
+  /** Graph build from dumped triples + the (itself oracle-checked)
+    * kg_links output: vocabulary rollup, md5 IRI minting, node dedup,
+    * edge join-back — the whole relational graph stage re-derived. */
+  val kgNodesEdges: String =
+    s"""WITH t AS (SELECT * FROM ${inp("triples")}),
+        links AS (SELECT surface, uri FROM ${out("kg_links")}),
+        surfaces AS (SELECT surface, entity_type, slug FROM (
+          SELECT surface, entity_type, slug,
+            row_number() OVER (PARTITION BY surface ORDER BY entity_type, slug) AS rn
+          FROM (SELECT subj_surface AS surface, subj_type AS entity_type, subj AS slug FROM t
+                UNION ALL
+                SELECT obj, obj_type, obj_slug FROM t WHERE obj_is_entity))
+          WHERE rn = 1),
+        si AS (SELECT s.surface, s.entity_type, s.slug,
+                 coalesce(l.uri, 'https://kg.local/e/' || s.slug || '-' ||
+                   substr(md5(s.surface), 1, 8)) AS iri
+               FROM surfaces s LEFT JOIN links l USING (surface))
+        SELECT
+          (SELECT CAST(count(DISTINCT iri) AS BIGINT) FROM si) AS n_nodes,
+          (SELECT CAST(count(*) AS BIGINT) FROM t JOIN si ON t.subj_surface = si.surface) AS n_edges,
+          (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triples,
+          (SELECT CAST(sum(CASE WHEN subj_type <> '' THEN 1 ELSE 0 END) AS BIGINT) FROM t) AS n_typed"""
+
+  /** All generated oracles, keyed by query name. */
+  val all: Map[String, String] = Map(
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_knn_lsh" -> qKnnLsh,
+    "q_knn_ivf" -> qKnnIvf,
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_multimodal_resize" -> qMultimodalResize,
+    "kg_triples" -> kgTriples,
+    "kg_eval_prf" -> kgEvalPrf,
+    "kg_eval_aggregate" -> kgEvalAggregate,
+    "kg_entity_table" -> kgEntityTable,
+    "kg_last_entity_of_type" -> kgLastEntityOfType,
+    "kg_entity_props" -> kgEntityProps,
+    "kg_context_summary" -> kgContextSummary,
+    "kg_validate" -> kgValidate,
+    "kg_windowed_counts" -> kgWindowedCounts,
+    "kg_docred_denorm" -> kgDocredDenorm,
+    "kg_docred_cross_sentence" -> kgDocredCrossSentence,
+    "kg_links" -> kgLinks,
+    "kg_nodes_edges" -> kgNodesEdges)
+}

@@ -21,6 +21,12 @@ object SparkEntry {
     else if (sfDir.contains("sf0.01")) 8000L
     else 2000L
 
+  /** Fake images to synthesize for q_multimodal_*, scaled by sf dir. */
+  def imagesFor(sfDir: String): Long =
+    if (sfDir.contains("sf0.1")) 20000L
+    else if (sfDir.contains("sf0.01")) 5000L
+    else 1000L
+
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -58,6 +64,18 @@ object SparkEntry {
     "kg_entity_table" -> ((s, dir) => {
       val n = pagesFor(dir)
       Kg.entityTable(Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))))
+    }),
+    // J1-J5: the linking stage over the corpus's distinct surfaces —
+    // exact + blocked-fuzzy JW + top-1, oracle-checked against DuckDB's
+    // jaro_winkler_similarity
+    "kg_links" -> ((s, dir) => {
+      val trip = Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))).toDF
+      val surfaces = trip.select(col("subj_surface").as("surface"))
+        .unionByName(trip.filter(col("obj_is_entity")).select(col("obj").as("surface")))
+        .distinct()
+      Pipeline.linkSurfaces(surfaces, Corpus.kb(s))
+        .select(col("surface"), col("uri"),
+          round(col("link_confidence"), 4).as("link_confidence"))
     }),
     // T4⁻¹: JSON-LD document emission (the reference's native output)
     "kg_jsonld_docs" -> ((s, dir) => {
@@ -204,8 +222,8 @@ object SparkEntry {
     }),
     // multimodal: stubbed decode → resize metadata (real Spark plumbing)
     "q_multimodal_resize" -> ((s, dir) => {
-      val n = if (dir.contains("sf0.1")) 20000L else if (dir.contains("sf0.01")) 5000L else 1000L
-      ops.Multimodal.resizeMeta(ops.Multimodal.decode(ops.Multimodal.images(s, n)), 256)
+      ops.Multimodal.resizeMeta(
+        ops.Multimodal.decode(ops.Multimodal.images(s, imagesFor(dir))), 256)
         .select("img_id", "width", "height", "channels", "out_width", "out_height", "label")
     }),
     // S3: semi-structured JSON column ingest + aggregation
@@ -285,7 +303,10 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Hand-written oracles over the driver tables, plus the generated
+    * oracles (Oracles.scala) for kernel-fed and constant-embedding
+    * queries. `{OUT}` placeholders are substituted by Verify. */
+  def oracleSql: Map[String, String] = Oracles.all ++ Map(
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
@@ -400,9 +421,9 @@ object SparkEntry {
          SELECT qid, vec_id, rank, cos_sim FROM (
            SELECT q.qid, e.vec_id,
              row_number() OVER (PARTITION BY q.qid
-               ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC,
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) DESC,
                         e.vec_id ASC) AS rank,
-             round(list_cosine_similarity(e.embedding, q.qvec), 3) AS cos_sim
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 3) AS cos_sim
            FROM embeddings e, q) WHERE rank <= 5"""
   )
 }

@@ -1,11 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
+import graft.pipeline.{Corpus, DocRed, Kg}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also dumps the ORACLE INPUT tables under `outDir/_inputs/` — the
+  * kernel-computed intermediates (gold triples, full triple table,
+  * mention rows, alias sets, docred corpus, KB labels, decoded image
+  * metadata, page timestamps) that the kg_* oracles re-derive their
+  * answers from. Oracle SQL references them via the `{OUT}` placeholder,
+  * substituted here with the ABSOLUTE output path so DuckDB resolves
+  * them regardless of its working directory. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir0) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -14,7 +26,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    new java.io.File(outDir0).mkdirs()
+    val outDir = Paths.get(outDir0).toAbsolutePath.toString
+
+    dumpInputs(spark, sfDir, outDir)
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,8 +51,30 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Deterministic oracle inputs (pure functions of the sf scale). */
+  def dumpInputs(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val n = SparkEntry.pagesFor(sfDir)
+    def w(df: DataFrame, name: String): Unit =
+      try df.write.mode("overwrite").parquet(s"$outDir/_inputs/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] input dump $name failed: ${e.getMessage}")
+      }
+    val pages = Corpus.pages(spark, n)
+    w(Corpus.gold(spark, n).toDF, "gold")
+    w(Kg.pagesToTriples(pages).toDF, "triples")
+    val resolved = Kg.resolve(Kg.chunk(Kg.extractText(pages)))
+    w(Kg.mentions(resolved).toDF, "mentions")
+    w(Kg.aliasTable(resolved), "aliases")
+    w(pages.toDF.select(col("url"), col("warc_ts")), "pages_ts")
+    w(Corpus.kb(spark).toDF, "kb")
+    w(DocRed.corpus(spark, n / 10).toDF, "docred")
+    w(ops.Multimodal.decode(
+      ops.Multimodal.images(spark, SparkEntry.imagesFor(sfDir))).toDF, "images_meta")
   }
 }

@@ -38,8 +38,9 @@ object Similarity {
   }
 
   /** Seeded random hyperplanes: nBits deterministic pseudo-random unit
-    * directions over `dim` dimensions (splitmix-flavored constants). */
-  private def planeComponent(bit: Int, d: Int): Double = {
+    * directions over `dim` dimensions (splitmix-flavored constants).
+    * Public so the DuckDB oracle can embed the identical constants. */
+  def planeComponent(bit: Int, d: Int): Double = {
     var z = (bit.toLong * 0x9e3779b97f4a7c15L) ^ (d.toLong * 0xbf58476d1ce4e5b9L) ^ 0x2545f4914f6cdd1dL
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
