@@ -365,6 +365,39 @@ object Oracles {
           (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triples,
           (SELECT CAST(sum(CASE WHEN subj_type <> '' THEN 1 ELSE 0 END) AS BIGINT) FROM t) AS n_typed"""
 
+  /** WebNLG gold denorm re-derived from the dumped entry rows: unnest
+    * mtriples, split on " | ", strip literal quotes. */
+  val webnlgTriples: String =
+    s"""SELECT eid, category,
+          trim(split_part(m, ' | ', 1)) AS subj,
+          trim(split_part(m, ' | ', 2)) AS pred,
+          trim(trim(split_part(m, ' | ', 3)), '"') AS obj
+        FROM (SELECT eid, category, unnest(mtriples) AS m FROM ${inp("webnlg")})"""
+
+  /** Per-category PRF re-derived from the dumped (normalized) predicted
+    * + gold triple tables — the eval arithmetic under oracle. */
+  val webnlgEval: String =
+    s"""WITH p AS (SELECT DISTINCT eid, category, subj, pred, obj, 1 AS in_pred
+          FROM ${inp("webnlg_pred")}),
+        g AS (SELECT DISTINCT eid, category, subj, pred, obj, 1 AS in_gold
+          FROM ${inp("webnlg_gold")}),
+        j AS (SELECT coalesce(p.category, g.category) AS category,
+                coalesce(p.eid, g.eid) AS eid,
+                p.in_pred, g.in_gold
+              FROM p FULL OUTER JOIN g
+                ON p.eid = g.eid AND p.category = g.category AND p.subj = g.subj
+                  AND p.pred = g.pred AND p.obj = g.obj),
+        c AS (SELECT category,
+                CAST(count(DISTINCT eid) AS BIGINT) AS n_entries,
+                CAST(sum(CASE WHEN in_pred IS NOT NULL AND in_gold IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN in_pred IS NOT NULL AND in_gold IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN in_pred IS NULL AND in_gold IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM j GROUP BY category)
+        SELECT category, n_entries, tp, fp, fn,
+          round(CASE WHEN tp + fp = 0 THEN 0.0::DOUBLE ELSE tp / (tp + fp) END, 6) AS precision,
+          round(CASE WHEN tp + fn = 0 THEN 0.0::DOUBLE ELSE tp / (tp + fn) END, 6) AS recall
+        FROM c"""
+
   /** All generated oracles, keyed by query name. */
   val all: Map[String, String] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
@@ -385,5 +418,7 @@ object Oracles {
     "kg_docred_denorm" -> kgDocredDenorm,
     "kg_docred_cross_sentence" -> kgDocredCrossSentence,
     "kg_links" -> kgLinks,
-    "kg_nodes_edges" -> kgNodesEdges)
+    "kg_nodes_edges" -> kgNodesEdges,
+    "webnlg_triples" -> webnlgTriples,
+    "webnlg_eval" -> webnlgEval)
 }

@@ -30,6 +30,10 @@ object SparkEntry {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Reference WebNLG fixture (read-only test DATA, cited; the eid/
+    * mtriple/text structure is the public WebNLG corpus format). */
+  val webnlgPath = "/root/reference/tests/fixtures/webnlg-astronaut.xml"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * pipeline pages→triples→eval, one row of P/R/F1. */
   def entry(spark: SparkSession): DataFrame = {
@@ -90,6 +94,18 @@ object SparkEntry {
     // A3: per-entity properties, last-write-wins (exploded map form)
     "kg_entity_props" -> ((s, dir) => {
       Kg.entityProps(Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))).toDF)
+    }),
+    // S-family: WebNLG XML corpus ingest + gold denormalization over the
+    // reference's own fixture data (tests/fixtures/webnlg-astronaut.xml)
+    "webnlg_triples" -> ((s, dir) => {
+      sources.WebNlg.goldTriples(sources.WebNlg.entries(s, webnlgPath))
+    }),
+    // J7/A8 on reference data: rule-based extraction from the WebNLG
+    // lexicalizations vs the mtriple gold, per-category P/R
+    "webnlg_eval" -> ((s, dir) => {
+      val e = sources.WebNlg.entries(s, webnlgPath)
+      sources.WebNlg.evalByCategory(
+        sources.WebNlg.predicted(e), sources.WebNlg.normalizedGold(e))
     }),
     // A2+A5: coref alias sets + the per-document context summary string
     "kg_context_summary" -> ((s, dir) => {

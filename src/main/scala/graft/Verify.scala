@@ -76,5 +76,9 @@ object Verify {
     w(DocRed.corpus(spark, n / 10).toDF, "docred")
     w(ops.Multimodal.decode(
       ops.Multimodal.images(spark, SparkEntry.imagesFor(sfDir))).toDF, "images_meta")
+    val webnlg = sources.WebNlg.entries(spark, SparkEntry.webnlgPath)
+    w(webnlg.toDF, "webnlg")
+    w(sources.WebNlg.predicted(webnlg), "webnlg_pred")
+    w(sources.WebNlg.normalizedGold(webnlg), "webnlg_gold")
   }
 }

@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel.{PredDict, Slug}
+
+/** WebNLG XML corpus ingest (S-family source; the reference ships the
+  * 193/565 KB WebNLG corpora as fixtures —
+  * /root/reference/tests/fixtures/webnlg-astronaut.xml — and its
+  * back-translation eval pairs each entry's `<text>` lexicalizations
+  * with its `<mtriple>` gold set, examples/webnlg_evaluation.rs).
+  *
+  * The parser is a minimal hand-rolled entry scanner (no XML library
+  * dependency): `<entry>` elements are independent, so at corpus scale
+  * the file set parallelizes per file via wholetext and each entry is
+  * parsed inside the flatMap — no driver-side XML tree.
+  */
+object WebNlg {
+
+  final case class WebNlgEntry(
+      eid: String,
+      category: String,
+      size: Int,
+      mtriples: Seq[String],
+      texts: Seq[String])
+
+  private def attr(tag: String, name: String): Option[String] = {
+    val k = name + "=\""
+    val i = tag.indexOf(k)
+    if (i < 0) None
+    else {
+      val start = i + k.length
+      val end = tag.indexOf('"', start)
+      if (end < 0) None else Some(tag.substring(start, end))
+    }
+  }
+
+  /** XML entity unescape for the five predefined entities (the only
+    * ones the WebNLG fixtures use). */
+  def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  private def innerTexts(blob: String, tag: String): Vector[String] = {
+    val open = "<" + tag + ">"
+    val close = "</" + tag + ">"
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while ({
+      val i = blob.indexOf(open, pos)
+      if (i < 0) false
+      else {
+        val start = i + open.length
+        val end = blob.indexOf(close, start)
+        if (end < 0) false
+        else {
+          out += unescape(blob.substring(start, end).trim)
+          pos = end + close.length
+          true
+        }
+      }
+    }) ()
+    out.result()
+  }
+
+  /** Parse every `<entry …>…</entry>` of a benchmark XML document. */
+  def parseEntries(xml: String): Vector[WebNlgEntry] = {
+    val out = Vector.newBuilder[WebNlgEntry]
+    var pos = 0
+    while ({
+      val i = xml.indexOf("<entry", pos)
+      if (i < 0) false
+      else {
+        val tagEnd = xml.indexOf('>', i)
+        val end = xml.indexOf("</entry>", tagEnd)
+        if (tagEnd < 0 || end < 0) false
+        else {
+          val tag = xml.substring(i, tagEnd)
+          val blob = xml.substring(tagEnd + 1, end)
+          out += WebNlgEntry(
+            eid = attr(tag, "eid").getOrElse(""),
+            category = attr(tag, "category").getOrElse(""),
+            size = attr(tag, "size").flatMap(_.toIntOption).getOrElse(0),
+            mtriples = innerTexts(blob, "mtriple"),
+            texts = innerTexts(blob, "text"))
+          pos = end + 8
+          true
+        }
+      }
+    }) ()
+    out.result()
+  }
+
+  /** Entries Dataset from one-or-many XML files (wholetext: one row per
+    * file, entries parsed executor-side). */
+  def entries(spark: SparkSession, path: String): Dataset[WebNlgEntry] = {
+    import spark.implicits._
+    spark.read.option("wholetext", true).textFile(path)
+      .flatMap(parseEntries _)
+  }
+
+  /** Gold triple denormalization: each `mtriple` "S | pred | O" row
+    * becomes (eid, category, subj, pred, obj); literal objects lose
+    * their surrounding quotes. Predicates stay RAW here (WebNLG's own
+    * property names) — canonicalization is a separate, separately
+    * oracled stage. */
+  def goldTriples(entries: Dataset[WebNlgEntry]): DataFrame = {
+    entries.toDF
+      .select(col("eid"), col("category"), explode(col("mtriples")).as("m"))
+      .withColumn("parts", split(col("m"), "\\s\\|\\s")) // named once (CLAUDE.md rule)
+      .select(col("eid"), col("category"),
+        trim(element_at(col("parts"), 1)).as("subj"),
+        trim(element_at(col("parts"), 2)).as("pred"),
+        trim(trim(element_at(col("parts"), 3)), "\"").as("obj"))
+  }
+
+  /** Gold normalized to the pipeline's triple conventions: slug subject,
+    * dictionary+stem predicate, object verbatim (unquoted). */
+  def normalizedGold(entries: Dataset[WebNlgEntry]): DataFrame = {
+    val slugUdf = udf((s: String) => Slug.slug(s))
+    val canonUdf = udf((p: String) => PredDict.canonical(p))
+    goldTriples(entries)
+      .select(col("eid"), col("category"),
+        slugUdf(col("subj")).as("subj"),
+        canonUdf(col("pred")).as("pred"),
+        col("obj").as("obj"))
+      .distinct()
+  }
+
+  /** Rule-based extraction over every lexicalization text of each
+    * entry, normalized to the same conventions, distinct per entry —
+    * the model-free analogue of the reference's back-translation run
+    * (extract from `<text>`, compare against the mtriple gold). */
+  def predicted(entries: Dataset[WebNlgEntry]): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    entries.flatMap { e =>
+      e.texts.iterator.flatMap { t =>
+        try {
+          graft.kernel.Relations.extract(t).iterator.map { r =>
+            (e.eid, e.category, Slug.slug(r.subj), PredDict.canonical(r.pred), r.obj)
+          }
+        } catch { case _: Exception => Iterator.empty } // O4 row tolerance
+      }.toSet // distinct within entry
+    }.toDF("eid", "category", "subj", "pred", "obj")
+  }
+
+  /** Per-category P/R/F1 of predicted vs gold (J7/A8 over REFERENCE
+    * data — the WebNLG eval shape of webnlg_evaluation.rs:66-133). */
+  def evalByCategory(predicted: DataFrame, gold: DataFrame): DataFrame = {
+    val keys = Seq("eid", "subj", "pred", "obj")
+    val p = predicted.select((keys :+ "category").map(col): _*).distinct()
+      .withColumn("in_pred", lit(1))
+    val g = gold.select((keys :+ "category").map(col): _*).distinct()
+      .withColumn("in_gold", lit(1))
+    p.join(g, keys :+ "category", "full_outer")
+      .groupBy(col("category"))
+      .agg(
+        count_distinct(col("eid")).as("n_entries"),
+        sum(when(col("in_pred").isNotNull && col("in_gold").isNotNull, 1).otherwise(0)).as("tp"),
+        sum(when(col("in_pred").isNotNull && col("in_gold").isNull, 1).otherwise(0)).as("fp"),
+        sum(when(col("in_pred").isNull && col("in_gold").isNotNull, 1).otherwise(0)).as("fn"))
+      .withColumn("precision", round(
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(col("tp") / (col("tp") + col("fp"))), 6))
+      .withColumn("recall", round(
+        when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(col("tp") / (col("tp") + col("fn"))), 6))
+  }
+}
