@@ -46,6 +46,30 @@ object Kg {
     }
   }
 
+  /** Stage-0 engine selector, mirroring the reference's
+    * CoreferenceStrategy config (coreference.rs:104-147): "none" passes
+    * text through; "coref" (default) is the coref.rs engine
+    * (kernel.Coref); "coreference" is the second rule-based engine
+    * (kernel.Coreference, coreference.rs). Sidecar/LLM strategies are
+    * network services — out of scope offline, like the reference's own
+    * unimplemented Llm arm. */
+  def resolveWith(chunks: Dataset[ChunkRow], strategy: String): Dataset[ResolvedRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    strategy match {
+      case "coref" => resolve(chunks)
+      case "none" =>
+        chunks.map(c => ResolvedRow(c.url, c.chunk_id, c.text, Map.empty))
+      case "coreference" =>
+        chunks.map { c =>
+          val (t, m) = Coreference.asCorefResult(c.text)
+          ResolvedRow(c.url, c.chunk_id, t, m)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown coref strategy: $other")
+    }
+  }
+
   /** Mention detection (T3 analogue) over resolved text. */
   def mentions(resolved: Dataset[ResolvedRow]): Dataset[MentionRow] = {
     val spark = resolved.sparkSession

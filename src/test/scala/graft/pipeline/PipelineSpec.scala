@@ -75,6 +75,26 @@ class PipelineSpec extends SparkTestBase {
     assert(nodes.count() == nodes.select("iri").distinct().count())
   }
 
+  test("stage-0 engine switch: none/coref/coreference all run; coref recovers the It-facts") {
+    import spark.implicits._
+    val chunks = Kg.chunk(Kg.extractText(Corpus.pages(spark, 100, 4)))
+    val none = Kg.resolveWith(chunks, "none")
+    val coref = Kg.resolveWith(chunks, "coref")
+    val second = Kg.resolveWith(chunks, "coreference")
+    // none is the identity on text
+    val origText = chunks.collect().map(c => (c.url, c.chunk_id) -> c.text).toMap
+    assert(none.collect().forall(r => r.resolved_text == origText((r.url, r.chunk_id))))
+    assert(none.map(_.mention_map.size).collect().forall(_ == 0))
+    // the coref.rs engine resolves the corpus's "It was founded by"
+    // pages; the second engine replaces pronouns too (different, cruder
+    // antecedents — e.g. the trailing-punctuation quirk)
+    val nIt = chunks.filter(_.text.contains("It was founded by")).count()
+    assert(nIt > 0)
+    assert(coref.filter(_.mention_map.nonEmpty).count() > 0)
+    assert(second.filter(_.mention_map.nonEmpty).count() > 0)
+    assert(second.filter(_.resolved_text.contains("It was founded by")).count() < nIt)
+  }
+
   test("O6 span provenance: every triple's span slices its sentence out of the resolved chunk") {
     import spark.implicits._
     val pages = Corpus.pages(spark, 150, 4)
