@@ -58,6 +58,24 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Kernel form of lshBucket: the same left-associative double fold,
+    * bit-identical buckets (equivalence-tested) — in a loop instead of
+    * a dim×nBits-term Catalyst expression. Used where the bucket column
+    * feeds several plan branches (the bucket-cap machinery), which
+    * would re-evaluate the giant expression once per branch. */
+  def lshBucketKernel(vec: Array[Float], dim: Int, nBits: Int): Long = {
+    var bucket = 0L
+    var bit = 0
+    while (bit < nBits) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += vec(d).toDouble * planeComponent(bit, d); d += 1 }
+      if (s > 0) bucket |= (1L << bit)
+      bit += 1
+    }
+    bucket
+  }
+
   /** Bucketed ANN: each query scans only its LSH bucket (plus no
     * multiprobe in this baseline — recall traded for a bucket-local
     * scan; raise nBits for smaller buckets at lower recall). */
@@ -131,7 +149,14 @@ object Similarity {
     * without emitting it pairwise. */
   def nearDupPairs(corpus: DataFrame, dim: Int, nBits: Int, threshold: Double,
       bucketCap: Int = 2000): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, emb) =>
+        (id, emb, lshBucketKernel(emb, dim, nBits))
+      })
+      .toDF("vec_id", "embedding", "bucket")
     val counts = cb.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bkt_n"), min(col("vec_id")).as("rep"))
     // ≤ 2^nBits rows — broadcast so the cap check never shuffles corpus

@@ -37,13 +37,17 @@ object Graph {
       .select(col("iri"), col("n.entity_type").as("entity_type"),
         col("n.name").as("name"), col("n.slug").as("slug"))
 
+    // deterministic dedup: min(confidence) pins the survivor (a bare
+    // dropDuplicates keeps an arbitrary row for non-key columns)
     val edges = withIris.select(
         col("subj_iri").as("src_iri"), col("pred"),
         when(col("obj_is_entity"), col("obj_iri")).otherwise(lit(null)).as("dst_iri"),
         when(!col("obj_is_entity"), col("obj")).otherwise(lit(null)).as("obj_literal"),
         (!col("obj_is_entity")).as("is_literal"),
         col("url"), col("confidence"))
-      .dropDuplicates("src_iri", "pred", "dst_iri", "obj_literal", "url")
+      .groupBy(col("src_iri"), col("pred"), col("dst_iri"), col("obj_literal"),
+        col("is_literal"), col("url"))
+      .agg(min(col("confidence")).as("confidence"))
     (nodes, edges)
   }
 }

@@ -101,6 +101,18 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("lshBucketKernel == columnar lshBucket, bit for bit") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(29L)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(64)((rng.nextDouble() - 0.5).toFloat)))
+    val columnar = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.lshBucketKernel(v, 64, 8) == columnar(id), s"vec $id")
+    }
+  }
+
   test("embedding near-dup bucket cap: hot bucket emits star pairs only") {
     import spark.implicits._
     val rng = new graft.pipeline.Rng(13L)
