@@ -90,12 +90,110 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
   }
 
+  /** Multiprobe LSH ANN: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (the standard multiprobe recipe —
+    * recall recovered without shrinking buckets or duplicating the
+    * corpus; probe count = nBits+1 per query, all on the tiny query
+    * side). A corpus vector lives in exactly one bucket and the probe
+    * list is distinct, so no post-join dedup is needed. */
+  def lshTopKMultiprobe(queries: DataFrame, corpus: DataFrame,
+      dim: Int, nBits: Int, k: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
+    val probes = (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))
+    val qb = queries.withColumn("bucket0", lshBucket(col("qvec"), dim, nBits))
+      .withColumn("bucket", explode(array(col("bucket0") +: probes: _*)))
+      .drop("bucket0")
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
+  }
+
   /** IVF coarse quantizer: deterministic seeded centroid directions
     * (at real scale these come from a k-means fit persisted as a tiny
-    * table; seeded directions keep this sandbox reproducible with the
-    * same dataflow shape). Returns centroid c as Seq of components. */
+    * table — see fitCentroids; seeded directions keep oracle-checked
+    * queries reproducible with the same dataflow shape). */
   def ivfCentroid(c: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(d => planeComponent(c * 131 + 7, d))
+
+  /** Lloyd's k-means fit for the IVF codebook — the real trained
+    * quantizer (max-inner-product assignment to match ivfAssign, mean
+    * update). Deterministic seeded init; the per-dimension means are
+    * Spark double sums (partition-order ulp jitter is possible, so
+    * tests assert recall properties, not centroid bits). Scale shape:
+    * each iteration is one narrow assignment pass + one k×dim-sized
+    * aggregation — the codebook stays driver/broadcast-tiny. */
+  def fitCentroids(corpus: DataFrame, dim: Int, k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = Array.tabulate(k)(c => ivfCentroid(c, dim))
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val acc = Array.fill(cs.length)(new Array[Double](dim))
+        val cnt = new Array[Long](cs.length)
+        it.foreach { v =>
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            var s = 0.0; var d = 0
+            while (d < dim) { s += v(d).toDouble * cs(c)(d); d += 1 }
+            if (s > bestScore) { bestScore = s; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < dim) { acc(best)(d) += v(d); d += 1 }
+          cnt(best) += 1
+        }
+        Iterator.single((acc, cnt))
+      }.reduce { (a, b) =>
+        val (sa, ca) = a; val (sb, cb2) = b
+        for (c <- sa.indices; d <- 0 until dim) sa(c)(d) += sb(c)(d)
+        for (c <- ca.indices) ca(c) += cb2(c)
+        (sa, ca)
+      }
+      val (acc, cnt) = sums
+      cents = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) cents(c) // empty cluster keeps its seed
+        else Array.tabulate(dim)(d => acc(c)(d) / cnt(c))
+      }
+    }
+    cents
+  }
+
+  /** IVF over an explicit codebook (e.g. a fitCentroids result). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, dim: Int,
+      centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    val assign = ivfAssignWith(col("embedding"), centroids)
+    val cb = corpus.withColumn("centroid", assign)
+    val qb = queries
+      .withColumn("centroid", explode(ivfProbesWith(col("qvec"), centroids, nProbe)))
+    val scored = cb.join(broadcast(qb), Seq("centroid"))
+      .withColumn("cos", cosine(col("embedding"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
+  }
+
+  private def ivfAssignWith(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.indices.map { c =>
+      struct(centroidScore(vec, cents(c)).as("score"), lit(-c).as("negid"))
+    }
+    -greatest(scored: _*).getField("negid")
+  }
+
+  private def ivfProbesWith(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
+    val scored = cents.indices.map { c =>
+      struct(centroidScore(vec, cents(c)).as("score"), lit(c).as("id"))
+    }
+    slice(transform(reverse(array_sort(array(scored: _*))), s => s.getField("id")),
+      lit(1), lit(nProbe))
+  }
 
   private def centroidScore(vec: Column, cent: Array[Double]): Column =
     cent.zipWithIndex.map { case (w, d) =>
@@ -104,22 +202,12 @@ object Similarity {
 
   /** Nearest-centroid assignment (argmax dot, deterministic ties by
     * centroid id) as a pure column expression. */
-  def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column = {
-    val scored = (0 until nCentroids).map { c =>
-      struct(centroidScore(vec, ivfCentroid(c, dim)).as("score"),
-        lit(-c).as("negid")) // ties → smallest centroid id
-    }
-    -greatest(scored: _*).getField("negid")
-  }
+  def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column =
+    ivfAssignWith(vec, Array.tabulate(nCentroids)(ivfCentroid(_, dim)))
 
   /** Top-nprobe centroid list for a query vector. */
-  private def ivfProbes(vec: Column, dim: Int, nCentroids: Int, nProbe: Int): Column = {
-    val scored = (0 until nCentroids).map { c =>
-      struct(centroidScore(vec, ivfCentroid(c, dim)).as("score"), lit(c).as("id"))
-    }
-    slice(transform(reverse(array_sort(array(scored: _*))), s => s.getField("id")),
-      lit(1), lit(nProbe))
-  }
+  private def ivfProbes(vec: Column, dim: Int, nCentroids: Int, nProbe: Int): Column =
+    ivfProbesWith(vec, Array.tabulate(nCentroids)(ivfCentroid(_, dim)), nProbe)
 
   /** IVF ANN: corpus partitioned into nCentroids inverted lists; each
     * query scans only its nProbe closest lists. The shuffle is keyed by

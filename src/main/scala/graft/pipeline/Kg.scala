@@ -154,28 +154,32 @@ object Kg {
   def extractTriplesFused(pages: Dataset[Page]): Dataset[TripleRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.flatMap { p =>
-      if (p.lang != "en") Iterator.empty
-      else try {
-        val text = HtmlText.extract(p.html)
-        val chunks =
-          if (Chunker.estimateTokens(text) < Chunker.chunkThresholdTokens)
-            Vector(Chunk(0, text, 0L, text.length.toLong))
-          else Chunker.default.chunk(text)
-        val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
-        chunks.iterator.flatMap { c =>
-          val resolved = Coref.resolve(c.text).resolvedText
-          Relations.extract(resolved).iterator.map { rel =>
-            TripleRow(p.url, Slug.slug(rel.subj), PredDict.canonical(rel.pred),
-              rel.obj, if (rel.objIsEntity) Slug.slug(rel.obj) else "",
-              rel.subj, rel.objIsEntity, rel.subjType, rel.objType,
-              c.id, rel.sentIdx, rel.confidence, "rule-based",
-              rel.sentStart, rel.sentEnd, rel.sourceText)
-          }.filterNot(t => Relations.likelyIncorrect(t.pred))
-            .filter(t => seen.add((t.subj, t.pred, t.obj))) // first-wins A6
-        }
-      } catch { case _: Exception => Iterator.empty } // O4 row tolerance
-    }
+    pages.flatMap(extractPage _)
+  }
+
+  /** The per-page fused kernel pass (shared by batch, streaming, and
+    * the ts-preserving streaming variant). */
+  def extractPage(p: Page): Iterator[TripleRow] = {
+    if (p.lang != "en") Iterator.empty
+    else try {
+      val text = HtmlText.extract(p.html)
+      val chunks =
+        if (Chunker.estimateTokens(text) < Chunker.chunkThresholdTokens)
+          Vector(Chunk(0, text, 0L, text.length.toLong))
+        else Chunker.default.chunk(text)
+      val seen = scala.collection.mutable.HashSet.empty[(String, String, String)]
+      chunks.iterator.flatMap { c =>
+        val resolved = Coref.resolve(c.text).resolvedText
+        Relations.extract(resolved).iterator.map { rel =>
+          TripleRow(p.url, Slug.slug(rel.subj), PredDict.canonical(rel.pred),
+            rel.obj, if (rel.objIsEntity) Slug.slug(rel.obj) else "",
+            rel.subj, rel.objIsEntity, rel.subjType, rel.objType,
+            c.id, rel.sentIdx, rel.confidence, "rule-based",
+            rel.sentStart, rel.sentEnd, rel.sourceText)
+        }.filterNot(t => Relations.likelyIncorrect(t.pred))
+          .filter(t => seen.add((t.subj, t.pred, t.obj))) // first-wins A6
+      }
+    } catch { case _: Exception => Iterator.empty } // O4 row tolerance
   }
 
   /** Full path: pages → deduped normalized triples (dedup is inline,

@@ -145,6 +145,52 @@ class OpsSpec extends SparkTestBase {
     assert(brute.forall { case (qid, v) => qid == v })
   }
 
+  test("multiprobe LSH recall >= single-probe recall; both find self-matches") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(31L)
+    def vec() = Array.fill(64)((rng.nextDouble() - 0.5).toFloat)
+    val vs = (0L until 300L).map(i => (i, vec()))
+    val corpus = vs.toDF("vec_id", "embedding")
+    val q = vs.take(10).toDF("qid", "qvec")
+    val brute = Similarity.bruteForceTopK(q, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshTopK(q, corpus, 64, 6, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopKMultiprobe(q, corpus, 64, 6, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = single.intersect(brute).size.toDouble / brute.size
+    val rm = multi.intersect(brute).size.toDouble / brute.size
+    info(s"recall single=$rs multi=$rm")
+    assert(rm >= rs, s"multiprobe recall $rm < single-probe $rs")
+    assert(rm > rs, "multiprobe should strictly improve recall at nBits=6 on random data")
+    (0L until 10L).foreach(qid => assert(multi.contains((qid, qid))))
+  }
+
+  test("k-means-fitted IVF codebook: recall >= seeded-constant codebook on clustered data") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(37L)
+    // clustered corpus: 6 centers + small noise (the case a real fit wins)
+    val centers = Array.fill(6)(Array.fill(32)((rng.nextDouble() - 0.5).toFloat * 2f))
+    val vs = (0L until 360L).map { i =>
+      val c = centers((i % 6).toInt)
+      (i, c.map(x => x + (rng.nextDouble() - 0.5).toFloat * 0.1f))
+    }
+    val corpus = vs.toDF("vec_id", "embedding")
+    val q = vs.take(12).toDF("qid", "qvec")
+    val brute = Similarity.bruteForceTopK(q, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeded = Similarity.ivfTopK(q, corpus, 32, nCentroids = 6, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fitted = Similarity.fitCentroids(corpus, 32, 6, iters = 5)
+    val trained = Similarity.ivfTopKWith(q, corpus, 32, fitted, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSeeded = seeded.intersect(brute).size.toDouble / brute.size
+    val rTrained = trained.intersect(brute).size.toDouble / brute.size
+    info(s"recall seeded=$rSeeded trained=$rTrained")
+    assert(rTrained >= rSeeded)
+    assert(rTrained >= 0.9, s"trained codebook recall $rTrained")
+  }
+
   test("IVF ANN: self-match always found; recall vs brute force is high") {
     import spark.implicits._
     val rng = new graft.pipeline.Rng(23L)

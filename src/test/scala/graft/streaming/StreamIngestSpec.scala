@@ -42,6 +42,64 @@ class StreamIngestSpec extends SparkTestBase {
     assert(once == twice && once > 0)
   }
 
+  test("streaming dedup: a recrawl in a later micro-batch emits nothing new") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_sdedup").toString
+    val pages = Corpus.pages(spark, 80, 2)
+    // the same pages dropped twice as two files -> with maxFilesPerTrigger=1
+    // the second micro-batch is a pure recrawl
+    pages.write.mode("overwrite").parquet(s"$work/pages")
+    pages.coalesce(1).write.mode("append").parquet(s"$work/pages")
+    val q = StreamIngest.runDeduped(spark, s"$work/pages", s"$work/out", s"$work/ckpt")
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$work/out/triples")
+      .select("url", "subj", "pred", "obj")
+    val expected = Kg.pagesToTriples(pages).toDF.select("url", "subj", "pred", "obj")
+    // no duplicates survived; content == the batch path exactly
+    assert(streamed.count() == streamed.distinct().count())
+    assert(streamed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(streamed).count() == 0)
+  }
+
+  test("flatMapGroupsWithState domain stats accumulate across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Files.createTempDirectory("graft_state").toString
+    val pages = Corpus.pages(spark, 60, 2)
+    pages.write.mode("overwrite").parquet(s"$work/pages")
+    pages.coalesce(1).write.mode("append").parquet(s"$work/pages")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[graft.pipeline.Page]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/pages").as[graft.pipeline.Page]
+    val q = StreamIngest.domainStats(StreamIngest.transform(stream))
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$work/stats")
+      .start()
+    q.awaitTermination()
+    val stats = spark.read.parquet(s"$work/stats")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty)
+    // domains seen in both drops emit a row per batch with a RUNNING total
+    val multi = stats.groupBy(_._1).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "expected at least one domain across 2 batches")
+    multi.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.last._2 >= sorted.head._2) // cumulative, never decreasing
+      assert(sorted.map(_._3).distinct.length == sorted.length) // batch counter advances
+    }
+    // final totals equal the batch-path per-domain counts doubled (two drops)
+    val finalTotals = stats.groupBy(_._1).map { case (d, rows) => d -> rows.map(_._2).max }
+    val expected = Kg.pagesToTriples(pages).toDF
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) * 2).toMap
+    finalTotals.foreach { case (d, n) => assert(n == expected(d), s"domain $d") }
+  }
+
   test("windowed counts group triples into hourly warc_ts windows") {
     import spark.implicits._
     val df = Seq(
