@@ -140,6 +140,16 @@ object Oracles {
         label
         FROM ${inp("images_meta")}"""
 
+  /** Frame-sampling plan re-derived from the dumped decoded metadata:
+    * frames 0, 30, 60, … < n_frames with floor timestamps. */
+  val qMultimodalFrames: String =
+    s"""SELECT video_id, CAST(frame_idx AS INT) AS frame_idx,
+          CAST(floor(frame_idx * 100000 / fps_x100) AS BIGINT) AS ts_ms,
+          width, height, label
+        FROM (SELECT video_id, unnest(range(0, n_frames, 30)) AS frame_idx,
+                fps_x100, width, height, label
+              FROM ${inp("videos_meta")})"""
+
   // ---------------- kg pipeline stages over dumped intermediates ----------------
 
   /** P/R = 1.0 is a tested invariant of the closed corpus, so the gold
@@ -406,6 +416,7 @@ object Oracles {
     "q_knn_ivf" -> qKnnIvf,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_multimodal_resize" -> qMultimodalResize,
+    "q_multimodal_frames" -> qMultimodalFrames,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,
     "kg_eval_aggregate" -> kgEvalAggregate,

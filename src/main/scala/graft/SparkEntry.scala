@@ -236,6 +236,12 @@ object SparkEntry {
         t(s, dir, "documents").filter(length(col("text")) > 0), col("text"))
         .select("doc_id", "pred_lang", "lang_score")
     }),
+    // multimodal video: stubbed container decode → frame sampling plan
+    // (one row per sampled frame with its timestamp)
+    "q_multimodal_frames" -> ((s, dir) => {
+      ops.Multimodal.frameSample(
+        ops.Multimodal.decodeVideo(ops.Multimodal.videos(s, imagesFor(dir) / 5)), 30)
+    }),
     // multimodal: stubbed decode → resize metadata (real Spark plumbing)
     "q_multimodal_resize" -> ((s, dir) => {
       ops.Multimodal.resizeMeta(

@@ -76,6 +76,8 @@ object Verify {
     w(DocRed.corpus(spark, n / 10).toDF, "docred")
     w(ops.Multimodal.decode(
       ops.Multimodal.images(spark, SparkEntry.imagesFor(sfDir))).toDF, "images_meta")
+    w(ops.Multimodal.decodeVideo(
+      ops.Multimodal.videos(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "videos_meta")
     val webnlg = sources.WebNlg.entries(spark, SparkEntry.webnlgPath)
     w(webnlg.toDF, "webnlg")
     w(sources.WebNlg.predicted(webnlg), "webnlg_pred")

@@ -71,6 +71,63 @@ object Multimodal {
       .drop("scale")
   }
 
+  // ---- video: opaque binary + frame sampling ----
+
+  /** Synthetic "video" blob: 20-byte fake header (magic, width, height,
+    * n_frames, fps_x100) + payload. Stands in for a real container. */
+  def fakeVideo(id: Long, width: Int, height: Int, nFrames: Int, fpsX100: Int): Array[Byte] = {
+    val header = java.nio.ByteBuffer.allocate(20)
+    header.putInt(0x56494445) // "VIDE"
+    header.putInt(width)
+    header.putInt(height)
+    header.putInt(nFrames)
+    header.putInt(fpsX100)
+    val rng = new graft.pipeline.Rng(id ^ 0xfeedbeefL)
+    header.array() ++ Array.fill[Byte](32)((rng.nextLong() & 0xff).toByte)
+  }
+
+  final case class VideoRow(video_id: Long, video: Array[Byte], label: String)
+  final case class DecodedVideo(video_id: Long, width: Int, height: Int,
+      n_frames: Int, fps_x100: Int, label: String)
+
+  def videos(spark: SparkSession, n: Long): Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val rng = new graft.pipeline.Rng(id * 131L + 11L)
+      VideoRow(id,
+        fakeVideo(id, 320 + 16 * rng.nextInt(80), 240 + 16 * rng.nextInt(60),
+          30 + rng.nextInt(3600), 2400 + 600 * rng.nextInt(4)),
+        if (id % 2 == 0) "clip" else "film")
+    }
+  }
+
+  /** STUB decode: parse the fake container header (the javacv/ffmpeg
+    * seam on a real cluster). */
+  def decodeVideo(vs: Dataset[VideoRow]): Dataset[DecodedVideo] = {
+    val spark = vs.sparkSession
+    import spark.implicits._
+    vs.mapPartitions(_.map { r =>
+      val buf = java.nio.ByteBuffer.wrap(r.video)
+      require(buf.getInt() == 0x56494445, s"bad magic for ${r.video_id}")
+      DecodedVideo(r.video_id, buf.getInt(), buf.getInt(), buf.getInt(),
+        buf.getInt(), r.label)
+    })
+  }
+
+  /** Frame sampling: one row per sampled frame at a fixed stride —
+    * pure relational explosion over the decoded metadata (the frame
+    * PIXEL fetch is the stubbed decode's job; the sampling plan — which
+    * frames, their timestamps — is exact and oracle-checked). Sampled
+    * frames are 0, stride, 2*stride, … < n_frames; ts_ms from fps. */
+  def frameSample(decoded: Dataset[DecodedVideo], stride: Int): DataFrame = {
+    decoded.toDF
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .withColumn("ts_ms", floor(col("frame_idx") * lit(100000L) / col("fps_x100")))
+      .select(col("video_id"), col("frame_idx"), col("ts_ms"),
+        col("width"), col("height"), col("label"))
+  }
+
   /** STUB feature extraction: byte histogram → 16-dim float vector
     * (stands in for a CNN embedding; same shape/partitioning). */
   def features(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {

@@ -227,6 +227,24 @@ class OpsSpec extends SparkTestBase {
       math.abs(f.features.sum - 1f) < 1e-3))
   }
 
+  test("video frame sampling: stride/timestamp plan over the stubbed container decode") {
+    val vids = Multimodal.videos(spark, 40)
+    val dec = Multimodal.decodeVideo(vids).collect()
+    assert(dec.length == 40)
+    assert(dec.forall(v => v.n_frames >= 30 && v.fps_x100 >= 2400))
+    val frames = Multimodal.frameSample(Multimodal.decodeVideo(vids), 30).collect()
+    val byVid = frames.groupBy(_.getLong(0))
+    dec.foreach { v =>
+      val fs = byVid(v.video_id).map(_.getInt(1)).sorted
+      // frames 0, 30, ... < n_frames, nothing else
+      assert(fs.toSeq == (0 until v.n_frames by 30).toSeq, s"video ${v.video_id}")
+    }
+    // timestamps: frame 30 at fps 24.00 -> floor(30/24*1000) = 1250 ms
+    val f30 = frames.find(r => r.getInt(1) == 30 &&
+      dec.find(_.video_id == r.getLong(0)).get.fps_x100 == 2400)
+    f30.foreach(r => assert(r.getLong(2) == 1250L))
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = docs(Seq(
       (1L, "the cat and the dog of the house"),
