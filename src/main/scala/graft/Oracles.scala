@@ -150,6 +150,18 @@ object Oracles {
                 fps_x100, width, height, label
               FROM ${inp("videos_meta")})"""
 
+  /** Audio segmentation plan re-derived from the dumped decoded
+    * metadata: ceil(n_samples / (rate*5)) windows, last one ragged. */
+  val qMultimodalSegments: String =
+    s"""SELECT audio_id, CAST(seg_idx AS INT) AS seg_idx,
+          CAST(seg_idx * seg_samples AS INT) AS start_sample,
+          CAST(least(seg_idx * seg_samples + seg_samples, n_samples) AS INT) AS end_sample,
+          sample_rate, channels, label
+        FROM (SELECT audio_id, sample_rate, channels, label, n_samples,
+                sample_rate * 5 AS seg_samples,
+                unnest(range(0, CAST(floor((n_samples - 1) / (sample_rate * 5)) AS BIGINT) + 1)) AS seg_idx
+              FROM ${inp("audio_meta")})"""
+
   // ---------------- kg pipeline stages over dumped intermediates ----------------
 
   /** P/R = 1.0 is a tested invariant of the closed corpus, so the gold
@@ -417,6 +429,7 @@ object Oracles {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_segments" -> qMultimodalSegments,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,
     "kg_eval_aggregate" -> kgEvalAggregate,

@@ -242,6 +242,11 @@ object SparkEntry {
       ops.Multimodal.frameSample(
         ops.Multimodal.decodeVideo(ops.Multimodal.videos(s, imagesFor(dir) / 5)), 30)
     }),
+    // multimodal audio: stubbed codec decode → fixed-length segmentation
+    "q_multimodal_segments" -> ((s, dir) => {
+      ops.Multimodal.segment(
+        ops.Multimodal.decodeAudio(ops.Multimodal.audios(s, imagesFor(dir) / 5)), 5)
+    }),
     // multimodal: stubbed decode → resize metadata (real Spark plumbing)
     "q_multimodal_resize" -> ((s, dir) => {
       ops.Multimodal.resizeMeta(

@@ -78,6 +78,8 @@ object Verify {
       ops.Multimodal.images(spark, SparkEntry.imagesFor(sfDir))).toDF, "images_meta")
     w(ops.Multimodal.decodeVideo(
       ops.Multimodal.videos(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "videos_meta")
+    w(ops.Multimodal.decodeAudio(
+      ops.Multimodal.audios(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "audio_meta")
     val webnlg = sources.WebNlg.entries(spark, SparkEntry.webnlgPath)
     w(webnlg.toDF, "webnlg")
     w(sources.WebNlg.predicted(webnlg), "webnlg_pred")

@@ -128,6 +128,61 @@ object Multimodal {
         col("width"), col("height"), col("label"))
   }
 
+  // ---- audio: opaque binary + fixed-length segmentation ----
+
+  /** Synthetic "audio" blob: 16-byte fake header (magic, sample_rate,
+    * n_samples, channels) + payload — stands in for a real codec. */
+  def fakeAudio(id: Long, sampleRate: Int, nSamples: Int, channels: Int): Array[Byte] = {
+    val header = java.nio.ByteBuffer.allocate(16)
+    header.putInt(0x41554449) // "AUDI"
+    header.putInt(sampleRate)
+    header.putInt(nSamples)
+    header.putInt(channels)
+    val rng = new graft.pipeline.Rng(id ^ 0x5eedf00dL)
+    header.array() ++ Array.fill[Byte](32)((rng.nextLong() & 0xff).toByte)
+  }
+
+  final case class AudioRow(audio_id: Long, audio: Array[Byte], label: String)
+  final case class DecodedAudio(audio_id: Long, sample_rate: Int,
+      n_samples: Int, channels: Int, label: String)
+
+  def audios(spark: SparkSession, n: Long): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val rng = new graft.pipeline.Rng(id * 257L + 3L)
+      val rate = Vector(16000, 22050, 44100)(rng.nextInt(3))
+      AudioRow(id, fakeAudio(id, rate, rate + rng.nextInt(rate * 29), 1 + rng.nextInt(2)),
+        if (id % 4 == 0) "speech" else "music")
+    }
+  }
+
+  /** STUB decode: parse the fake audio header (the real-codec seam). */
+  def decodeAudio(as: Dataset[AudioRow]): Dataset[DecodedAudio] = {
+    val spark = as.sparkSession
+    import spark.implicits._
+    as.mapPartitions(_.map { r =>
+      val buf = java.nio.ByteBuffer.wrap(r.audio)
+      require(buf.getInt() == 0x41554449, s"bad magic for ${r.audio_id}")
+      DecodedAudio(r.audio_id, buf.getInt(), buf.getInt(), buf.getInt(), r.label)
+    })
+  }
+
+  /** Fixed-length segmentation: one row per `segSeconds`-second window,
+    * last segment ragged — the shape ASR/feature pipelines consume.
+    * Pure relational explosion over decoded metadata (sample fetch is
+    * the stub seam); segment count = ceil(n_samples / seg_samples). */
+  def segment(decoded: Dataset[DecodedAudio], segSeconds: Int): DataFrame = {
+    decoded.toDF
+      .withColumn("seg_samples", col("sample_rate") * segSeconds)
+      .withColumn("seg_idx", explode(sequence(lit(0),
+        floor((col("n_samples") - 1) / col("seg_samples")).cast("int"))))
+      .select(col("audio_id"), col("seg_idx"),
+        (col("seg_idx") * col("seg_samples")).as("start_sample"),
+        least(col("seg_idx") * col("seg_samples") + col("seg_samples"),
+          col("n_samples")).as("end_sample"),
+        col("sample_rate"), col("channels"), col("label"))
+  }
+
   /** STUB feature extraction: byte histogram → 16-dim float vector
     * (stands in for a CNN embedding; same shape/partitioning). */
   def features(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {

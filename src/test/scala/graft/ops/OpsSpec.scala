@@ -245,6 +245,27 @@ class OpsSpec extends SparkTestBase {
     f30.foreach(r => assert(r.getLong(2) == 1250L))
   }
 
+  test("audio segmentation: ceil-count windows, last segment ragged") {
+    val aud = Multimodal.audios(spark, 30)
+    val dec = Multimodal.decodeAudio(aud).collect()
+    assert(dec.length == 30)
+    val segs = Multimodal.segment(Multimodal.decodeAudio(aud), 5).collect()
+    val byId = segs.groupBy(_.getLong(0))
+    dec.foreach { a =>
+      val ss = byId(a.audio_id).sortBy(_.getInt(1))
+      val segSamples = a.sample_rate * 5
+      val want = (a.n_samples + segSamples - 1) / segSamples // ceil
+      assert(ss.length == want, s"audio ${a.audio_id}")
+      // contiguous cover of [0, n_samples)
+      assert(ss.head.getInt(2) == 0)
+      assert(ss.last.getInt(3) == a.n_samples)
+      ss.sliding(2).foreach {
+        case Array(x, y) => assert(x.getInt(3) == y.getInt(2))
+        case _ => ()
+      }
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = docs(Seq(
       (1L, "the cat and the dog of the house"),
