@@ -15,6 +15,16 @@ object ExplainDump {
     val (nodes, edges) = Pipeline.graphFromTriples(trip, Corpus.kb(spark, 500))
     println("===== edges (linking join-back) =====")
     edges.explain("formatted")
+    println("===== entityProps (A3 two-phase aggregation) =====")
+    Kg.entityProps(trip.toDF).explain("formatted")
+    println("===== jsonLdDocuments (one groupByKey) =====")
+    Pipeline.jsonLdDocuments(trip).explain("formatted")
+    println("===== linkSurfaces (kg_links shape) =====")
+    import org.apache.spark.sql.functions.col
+    val surfaces = trip.toDF.select(col("subj_surface").as("surface"))
+      .unionByName(trip.toDF.filter(col("obj_is_entity")).select(col("obj").as("surface")))
+      .distinct()
+    Pipeline.linkSurfaces(surfaces, Corpus.kb(spark, 500)).explain("formatted")
     spark.stop()
   }
 }

@@ -82,6 +82,37 @@ class PlanSpec extends SparkTestBase {
     assert(eB.count() > 0)
   }
 
+  test("entityProps: map-side partial aggregate, single exchange") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 50, 2)).toDF
+    val plan = executedPlan(Kg.entityProps(trip))
+    assert("Exchange".r.findAllIn(plan.replace("BroadcastExchange", "")).length == 1,
+      "A3 last-write rollup should shuffle exactly once:\n" + plan.take(800))
+    assert(plan.contains("partial_max_by"), plan.take(800))
+    assert(plan.indexOf("partial_max_by") > plan.indexOf("Exchange"),
+      "partial agg should run before the exchange")
+  }
+
+  test("jsonLdDocuments: exactly one shuffle (the url group), then per-group assembly") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 50, 2))
+    val plan = executedPlan(Pipeline.jsonLdDocuments(trip))
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(800))
+    assert(plan.contains("MapGroups"), plan.take(800))
+  }
+
+  test("linkSurfaces: broadcast joins, top-1 window gets the group-limit pushdown") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 100, 4)).toDF
+    val surfaces = trip.select(col("subj_surface").as("surface"))
+      .unionByName(trip.filter(col("obj_is_entity")).select(col("obj").as("surface")))
+      .distinct()
+    val df = Pipeline.linkSurfaces(surfaces, Corpus.kb(spark, 500))
+    df.collect() // AQE final plan
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"), "KB joins must broadcast at this scale")
+    assert(plan.contains("WindowGroupLimit"),
+      "top-1 per surface should push the rank limit below the window:\n" + plan.take(1000))
+  }
+
   test("salted join variant spreads one hot key across all salts") {
     import spark.implicits._
     // one very hot mention key joined against the KB
