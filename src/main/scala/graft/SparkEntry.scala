@@ -30,6 +30,46 @@ object SparkEntry {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  // --- per-JVM checkpoint of the fused NLP pass -------------------------
+  // The flagship architecture is "extract once, query many": the triples
+  // table is a parquet CHECKPOINT (Pipeline.graphCheckpointed's resume
+  // boundary) and every downstream query reads the file. The kg_*
+  // queries follow the same contract here: the first query that needs
+  // the extraction (or the resolved-chunk table) writes it under a
+  // JVM-unique temp dir; the rest read parquet. Results are identical
+  // to recomputation (the kernel is deterministic and parquet
+  // round-trips exactly); the JVM-unique token means a stale checkpoint
+  // from an older build can never leak in.
+  private lazy val ckDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_entry_ck")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+  private val ckDone = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def checkpointed(s: SparkSession, key: String)(make: => DataFrame): DataFrame = {
+    val path = ckDone.getOrElseUpdate(key, {
+      val p = s"$ckDir/$key"
+      make.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Checkpointed deduped triples of the synthesized corpus at this sf. */
+  def triplesFor(s: SparkSession, dir: String): DataFrame =
+    checkpointed(s, s"triples_${pagesFor(dir)}")(
+      Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))).toDF)
+
+  /** Checkpointed resolved chunks (stage-0 output) at this sf. */
+  def resolvedFor(s: SparkSession, dir: String): DataFrame =
+    checkpointed(s, s"resolved_${pagesFor(dir)}")(
+      Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, pagesFor(dir))))).toDF)
+
+  /** Checkpointed (url, warc_ts) of the corpus at this sf. */
+  def pagesTsFor(s: SparkSession, dir: String): DataFrame =
+    checkpointed(s, s"pages_ts_${pagesFor(dir)}")(
+      Corpus.pages(s, pagesFor(dir)).toDF.select(col("url"), col("warc_ts")))
+
   /** Reference WebNLG fixture (read-only test DATA, cited; the eid/
     * mtriple/text structure is the public WebNLG corpus format). */
   val webnlgPath = "/root/reference/tests/fixtures/webnlg-astronaut.xml"
@@ -50,30 +90,29 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- KG pipeline (rows-only checks) ----------------
     "kg_triples" -> ((s, dir) => {
-      Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir)))
-        .toDF.select("url", "subj", "pred", "obj")
+      triplesFor(s, dir).select("url", "subj", "pred", "obj")
     }),
     "kg_eval_prf" -> ((s, dir) => {
-      val n = pagesFor(dir)
-      Eval.prfDf(Kg.pagesToTriples(Corpus.pages(s, n)).toDF, Corpus.gold(s, n).toDF)
+      Eval.prfDf(triplesFor(s, dir), Corpus.gold(s, pagesFor(dir)).toDF)
     }),
     "kg_nodes_edges" -> ((s, dir) => {
-      val (trip, nodes, edges) = Pipeline.graph(Corpus.pages(s, pagesFor(dir)), Corpus.kb(s))
-      val out = nodes.agg(count(lit(1)).as("n_nodes"))
+      import s.implicits._
+      val trip = triplesFor(s, dir).as[TripleRow]
+      val (nodes, edges) = Pipeline.graphFromTriples(trip, Corpus.kb(s))
+      nodes.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
         .crossJoin(trip.toDF.agg(count(lit(1)).as("n_triples"),
           sum(when(col("subj_type") =!= "", 1).otherwise(0)).as("n_typed")))
-      out
     }),
     "kg_entity_table" -> ((s, dir) => {
-      val n = pagesFor(dir)
-      Kg.entityTable(Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))))
+      import s.implicits._
+      Kg.entityTable(Kg.mentions(resolvedFor(s, dir).as[ResolvedRow]))
     }),
     // J1-J5: the linking stage over the corpus's distinct surfaces —
     // exact + blocked-fuzzy JW + top-1, oracle-checked against DuckDB's
     // jaro_winkler_similarity
     "kg_links" -> ((s, dir) => {
-      val trip = Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))).toDF
+      val trip = triplesFor(s, dir)
       val surfaces = trip.select(col("subj_surface").as("surface"))
         .unionByName(trip.filter(col("obj_is_entity")).select(col("obj").as("surface")))
         .distinct()
@@ -83,17 +122,17 @@ object SparkEntry {
     }),
     // T4⁻¹: JSON-LD document emission (the reference's native output)
     "kg_jsonld_docs" -> ((s, dir) => {
-      Pipeline.jsonLdDocuments(Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))))
+      import s.implicits._
+      Pipeline.jsonLdDocuments(triplesFor(s, dir).as[TripleRow])
     }),
     // A4: latest entity of each type per document (max_by offset)
     "kg_last_entity_of_type" -> ((s, dir) => {
-      val n = pagesFor(dir)
-      Kg.lastEntityOfType(
-        Kg.entityTable(Kg.mentions(Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n)))))))
+      import s.implicits._
+      Kg.lastEntityOfType(Kg.entityTable(Kg.mentions(resolvedFor(s, dir).as[ResolvedRow])))
     }),
     // A3: per-entity properties, last-write-wins (exploded map form)
     "kg_entity_props" -> ((s, dir) => {
-      Kg.entityProps(Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))).toDF)
+      Kg.entityProps(triplesFor(s, dir))
     }),
     // S-family: WebNLG XML corpus ingest + gold denormalization over the
     // reference's own fixture data (tests/fixtures/webnlg-astronaut.xml)
@@ -109,8 +148,8 @@ object SparkEntry {
     }),
     // A2+A5: coref alias sets + the per-document context summary string
     "kg_context_summary" -> ((s, dir) => {
-      val n = pagesFor(dir)
-      val resolved = Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, n))))
+      import s.implicits._
+      val resolved = resolvedFor(s, dir).as[ResolvedRow]
       Kg.contextSummary(Kg.entityTable(Kg.mentions(resolved)), Kg.aliasTable(resolved))
     }),
 
@@ -307,24 +346,19 @@ object SparkEntry {
     }),
     // A8/A9: per-case metrics + aggregate over the live pipeline
     "kg_eval_aggregate" -> ((s, dir) => {
-      val n = pagesFor(dir)
       val (_, agg) = EvalAgg.perCaseAndAggregate(
-        Kg.pagesToTriples(Corpus.pages(s, n)).toDF, Corpus.gold(s, n).toDF)
+        triplesFor(s, dir), Corpus.gold(s, pagesFor(dir)).toDF)
       agg
     }),
     // streaming windowed aggregation shape (computed on batch data here)
     "kg_windowed_counts" -> ((s, dir) => {
-      val n = pagesFor(dir)
-      val pages = Corpus.pages(s, n)
-      val trip = Kg.pagesToTriples(pages).toDF
-        .join(pages.toDF.select(col("url"), col("warc_ts")), Seq("url"))
+      val trip = triplesFor(s, dir).join(pagesTsFor(s, dir), Seq("url"))
       graft.streaming.StreamIngest.windowedCounts(trip)
         .select(col("window.start").as("win_start"), col("pred"), col("n_triples"))
     }),
     // KG validation stage (stage 4): per-entity violations + confidence
     "kg_validate" -> ((s, dir) => {
-      val trip = Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir)))
-      Validate.validateEntities(trip.toDF)
+      Validate.validateEntities(triplesFor(s, dir))
         .select(col("url"), col("subj"), size(col("violations")).as("n_violations"),
           round(col("confidence"), 4).as("confidence"), col("valid"))
     })

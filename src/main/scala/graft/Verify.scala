@@ -65,13 +65,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] input dump $name failed: ${e.getMessage}")
       }
-    val pages = Corpus.pages(spark, n)
+    import spark.implicits._
     w(Corpus.gold(spark, n).toDF, "gold")
-    w(Kg.pagesToTriples(pages).toDF, "triples")
-    val resolved = Kg.resolve(Kg.chunk(Kg.extractText(pages)))
+    // reuse the same per-JVM checkpoints the queries read (extract once)
+    w(SparkEntry.triplesFor(spark, sfDir), "triples")
+    val resolved = SparkEntry.resolvedFor(spark, sfDir).as[graft.pipeline.ResolvedRow]
     w(Kg.mentions(resolved).toDF, "mentions")
     w(Kg.aliasTable(resolved), "aliases")
-    w(pages.toDF.select(col("url"), col("warc_ts")), "pages_ts")
+    w(SparkEntry.pagesTsFor(spark, sfDir), "pages_ts")
     w(Corpus.kb(spark).toDF, "kb")
     w(DocRed.corpus(spark, n / 10).toDF, "docred")
     w(ops.Multimodal.decode(
