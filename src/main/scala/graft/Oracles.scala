@@ -162,6 +162,21 @@ object Oracles {
                 unnest(range(0, CAST(floor((n_samples - 1) / (sample_rate * 5)) AS BIGINT) + 1)) AS seg_idx
               FROM ${inp("audio_meta")})"""
 
+  /** Token counts + rolling polynomial fingerprint, all recomputed
+    * exactly (unicode fold seeded by a prepended 0 == Spark's
+    * aggregate initial accumulator). */
+  val qTextTokens: String =
+    s"""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
+          list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(
+                string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''),
+                c -> unicode(c)::BIGINT)),
+            (acc, c) -> (acc * 257 + c) % 2147483647) AS rolling_fp
+        FROM documents WHERE length(text) > 0"""
+
   // ---------------- kg pipeline stages over dumped intermediates ----------------
 
   /** P/R = 1.0 is a tested invariant of the closed corpus, so the gold
@@ -430,6 +445,7 @@ object Oracles {
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_segments" -> qMultimodalSegments,
+    "q_text_tokens" -> qTextTokens,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,
     "kg_eval_aggregate" -> kgEvalAggregate,

@@ -269,6 +269,15 @@ object SparkEntry {
         t(s, dir, "documents").filter(length(col("text")) > 0), col("text"))
         .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len")
     }),
+    // token counting (whitespace + BPE-ish regex) + rolling-hash
+    // document fingerprint — all cross-engine exact
+    "q_text_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+      d.select(col("doc_id"),
+        ops.TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        ops.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        ops.TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
+    }),
     // language-ID heuristic (argmax of stopword hits, deterministic ties)
     "q_lang_id" -> ((s, dir) => {
       ops.TextAnalysis.langId(

@@ -66,4 +66,60 @@ object TextAnalysis {
     * the exact-dedup key. md5 is identical in Spark and DuckDB. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** BPE-ish token count: matches of a GPT-style piece pattern (letter
+    * runs, single digits, punctuation singletons) — deliberately
+    * RE2-safe (no lookarounds) so the DuckDB oracle runs the identical
+    * regex. A much better length estimate for LLM budgeting than
+    * whitespace words. */
+  val bpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  private val rollP = 2147483647L // 2^31-1
+  private val rollB = 257L
+
+  /** Rolling (polynomial / Rabin-Karp) document fingerprint over the
+    * normalized text: fold acc = (acc*B + codepoint) mod p. Pure
+    * higher-order Columns — one pass, codegen-friendly, and exactly
+    * reproducible in DuckDB via list_reduce. The incremental form is
+    * what content-defined chunking builds on; the full-document fold is
+    * the dedup key variant. */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    aggregate(transform(split(norm, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * rollB + c) % rollP)
+  }
+
+  /** Winnowing-style fingerprint (kernel form): the minimum rolling
+    * hash over all k-char windows of the normalized text — robust to
+    * local edits outside the minimal window (standard MOSS/winnowing
+    * building block; windows shorter than k hash the whole text).
+    * O(n) via the rolling update acc' = (acc - c_out*B^(k-1))*B + c_in. */
+  def winnowFingerprint(text: String, k: Int): Long = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    if (s.isEmpty) return 0L
+    val n = s.length
+    if (n <= k) {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc = (acc * rollB + s.charAt(i)) % rollP; i += 1 }
+      return acc
+    }
+    // B^(k-1) mod p
+    var pow = 1L
+    var e = 0
+    while (e < k - 1) { pow = (pow * rollB) % rollP; e += 1 }
+    var acc = 0L
+    var i = 0
+    while (i < k) { acc = (acc * rollB + s.charAt(i)) % rollP; i += 1 }
+    var min = acc
+    while (i < n) {
+      acc = (acc - (s.charAt(i - k) * pow) % rollP + rollP * rollB) % rollP
+      acc = (acc * rollB + s.charAt(i)) % rollP
+      if (acc < min) min = acc
+      i += 1
+    }
+    min
+  }
 }

@@ -266,6 +266,43 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("BPE-ish token count and rolling fingerprint") {
+    val d = docs(Seq((1L, "Hello, world 42!"), (2L, "Hello, world 42!"),
+      (3L, "hello , world 42 !")))
+    val r = d.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("b"),
+        TextAnalysis.rollingHash(col("text")).as("h"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == 6) // Hello , world 4 2 !
+    assert(r(1L)._2 == r(2L)._2) // identical text, identical fp
+    assert(r(1L)._2 != r(3L)._2) // different byte stream, different fp
+    // hand-checked polynomial fold: "ab" -> 97*257 + 98
+    val ab = docs(Seq((9L, "ab")))
+      .select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
+    assert(ab == 97L * 257L + 98L)
+  }
+
+  test("winnowing fingerprint: min window hash, O(n) rolling == brute force") {
+    val p = 2147483647L
+    def brute(text: String, k: Int): Long = {
+      val s = text.toLowerCase.replaceAll("\\s+", " ")
+      if (s.length <= k) return TextAnalysis.winnowFingerprint(text, k)
+      (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 257L + c) % p)
+      }.min
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "short", "", "a b  c   d", (1 to 50).map(i => s"tok$i").mkString(" "))
+    texts.foreach { t =>
+      assert(TextAnalysis.winnowFingerprint(t, 8) == brute(t, 8), s"'$t'")
+    }
+    // robust to edits AWAY from the minimal window: appending text can
+    // only lower the min, never lose an existing window
+    val base = "the quick brown fox jumps over the lazy dog"
+    assert(TextAnalysis.winnowFingerprint(base + " extra tail", 8) <=
+      TextAnalysis.winnowFingerprint(base, 8))
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = docs(Seq(
       (1L, "the cat and the dog of the house"),
