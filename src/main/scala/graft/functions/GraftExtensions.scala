@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.slugFunction)
+    ext.injectFunction(GraftExtensions.jaroWinklerFunction)
   }
 }
 
@@ -23,5 +24,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, s"slug expects exactly 1 argument, got ${children.length}")
       SlugExpression(children.head)
+    })
+
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerExpression].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"jaro_winkler expects exactly 2 arguments, got ${children.length}")
+      JaroWinklerExpression(children.head, children(1))
     })
 }

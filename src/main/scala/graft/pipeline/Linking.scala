@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.kernel.Jaro
 
 /** Entity linking (Stage 3) as set-oriented joins — the reference's
   * per-name lookup loop (entity_linker.rs:486-499) becomes ONE join of
@@ -35,7 +34,10 @@ object Linking {
   val fuzzyThreshold = 0.8 // entity_linker.rs config default
   val confidenceThreshold = 0.5 // entity_linker.rs:64 EntityLinker default
 
-  private val jwUdf = udf((a: String, b: String) => Jaro.jaroWinkler(a, b))
+  // native codegen Expression, not a UDF — stays inside whole-stage
+  // codegen at the fuzzy-join scoring step
+  private def jw(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.JaroWinklerExpression.jaroWinkler(a, b)
 
   /** Distinct (url, surface, surface_lc) mention keys — dedup before the
     * join so each document's repeated mentions hit the KB once. */
@@ -87,7 +89,7 @@ object Linking {
     val k = kb.toDF
       .withColumn("block", split(col("label_lc"), " ").getItem(0))
     val cands = m.join(broadcast(k), "block")
-      .withColumn("confidence", jwUdf(col("label_lc"), col("surface_lc")))
+      .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
       .filter(col("confidence") >= fuzzyThreshold)
       .select(col("url"), col("surface"), col("uri"), col("confidence"))
     top1(cands)
@@ -104,7 +106,7 @@ object Linking {
       val k = kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))
       val m = misses.withColumn("block", split(col("surface_lc"), " ").getItem(0))
       val cands = m.join(broadcast(k), "block")
-        .withColumn("confidence", jwUdf(col("label_lc"), col("surface_lc")))
+        .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
         .filter(col("confidence") >= fuzzyThreshold)
         .select(col("url"), col("surface"), col("uri"), col("confidence"))
       top1(cands)
@@ -114,7 +116,7 @@ object Linking {
 
   /** J6 enrichment: triples join linked subjects/objects; unlinked
     * entities fall back to deterministically minted IRIs
-    * (slug + sha1-prefix, SURVEY.md §7.3#4) — done at materialization. */
+    * (slug + md5-prefix, SURVEY.md §7.3#4) — done at materialization. */
   def enrich(triples: Dataset[TripleRow], linked: DataFrame): DataFrame = {
     val l = linked
     triples.toDF

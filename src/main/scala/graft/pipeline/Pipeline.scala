@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
-import graft.kernel.Jaro
 
 /** Flagship end-to-end pipeline, shaped for 100 TB:
   *
@@ -25,10 +24,11 @@ import graft.kernel.Jaro
   */
 object Pipeline {
 
-  private val jwUdf = udf((a: String, b: String) => Jaro.jaroWinkler(a, b))
+  private def jw(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.JaroWinklerExpression.jaroWinkler(a, b)
 
   /** Link a distinct-surface DataFrame (column `surface`) against the KB:
-    * exact (0.95) else blocked fuzzy JW (≥0.8), threshold 0.7, top-1 per
+    * exact (0.95) else blocked fuzzy JW (≥0.8), threshold 0.5, top-1 per
     * surface by (confidence desc, uri asc). Returns (surface, uri,
     * link_confidence). */
   def linkSurfaces(surfaces: DataFrame, kb: Dataset[KbEntry]): DataFrame = {
@@ -45,7 +45,7 @@ object Pipeline {
     val fuzzy = misses.join(
         broadcast(kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))),
         "block")
-      .withColumn("confidence", jwUdf(col("label_lc"), col("surface_lc")))
+      .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
       .filter(col("confidence") >= Linking.fuzzyThreshold &&
         col("confidence") >= Linking.confidenceThreshold)
       .select(col("surface"), col("uri"), col("confidence"))
