@@ -70,9 +70,12 @@ object SparkEntry {
     checkpointed(s, s"pages_ts_${pagesFor(dir)}")(
       Corpus.pages(s, pagesFor(dir)).toDF.select(col("url"), col("warc_ts")))
 
-  /** Reference WebNLG fixture (read-only test DATA, cited; the eid/
-    * mtriple/text structure is the public WebNLG corpus format). */
-  val webnlgPath = "/root/reference/tests/fixtures/webnlg-astronaut.xml"
+  /** Reference WebNLG fixtures (read-only test DATA, cited; the eid/
+    * mtriple/text structure is the public WebNLG corpus format). The
+    * glob reads BOTH corpora (astronaut 72 + airport 301 entries) —
+    * wholetext gives one row per file, so the parse parallelizes per
+    * file exactly as a many-file corpus would. */
+  val webnlgPath = "/root/reference/tests/fixtures/webnlg-*.xml"
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * pipeline pages→triples→eval, one row of P/R/F1. */

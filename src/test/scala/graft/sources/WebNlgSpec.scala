@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * test DATA). */
 class WebNlgSpec extends SparkTestBase {
 
-  private val path = graft.SparkEntry.webnlgPath
+  private val path = "/root/reference/tests/fixtures/webnlg-astronaut.xml"
 
   test("parser: entries carry eid/category/size, mtriples and texts, entities unescaped") {
     val xml = new String(java.nio.file.Files.readAllBytes(
@@ -44,6 +44,17 @@ class WebNlgSpec extends SparkTestBase {
     assert(r.getString(3) == "almaMater")
     assert(r.getString(4) == "UT Austin, B.S. 1955") // quotes stripped
     assert(g.count() == 72) // the astronaut corpus's full mtriple count
+  }
+
+  test("multi-file glob reads both corpora; (eid, category) disambiguates colliding eids") {
+    val e = WebNlg.entries(spark, graft.SparkEntry.webnlgPath)
+    assert(e.count() == 72 + 301)
+    val cats = e.collect().map(_.category).distinct.sorted
+    assert(cats.contains("Astronaut") && cats.contains("Airport"))
+    // eids collide across files (both have Id1) but (eid, category) is unique
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val d = e.toDF
+    assert(d.select(countDistinct(col("eid"), col("category"))).head.getLong(0) == 373L)
   }
 
   test("reference-data eval: extraction recovers gold triples from lexicalizations") {
