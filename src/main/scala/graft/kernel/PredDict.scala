@@ -44,10 +44,16 @@ object PredDict {
     "is the capital of" -> "containedInPlace"
   )
 
-  /** Full canonicalization: dictionary lookup (Wikidata id or raw
-    * property) then Porter stem. Unknown predicates are stemmed as-is. */
+  /** Raw-property collapses the reference's extraction spec applies
+    * (cityServed → location, extractor.rs:14-117 system prompt +
+    * tests/fixtures/test_cases.json:43-58 expected JSON-LD). */
+  val rawAliases: Map[String, String] = Map("cityServed" -> "location")
+
+  /** Full canonicalization: dictionary lookup (Wikidata id, raw alias,
+    * or raw property) then Porter stem. Unknown predicates are stemmed
+    * as-is. */
   def canonical(raw: String): String = {
-    val mapped = wikidataToSchema.getOrElse(raw, raw)
+    val mapped = wikidataToSchema.getOrElse(raw, rawAliases.getOrElse(raw, raw))
     Porter.stemPredicate(mapped)
   }
 

@@ -106,8 +106,16 @@ object Relations {
     s.nonEmpty && s.charAt(0).isUpper
   }
 
+  /** All-digit token ("12", "2020") — continues a capitalized entity
+    * ("Apollo 12") but can never start one. */
+  private def digitWord(w: String): Boolean = {
+    val s = stripPunct(w)
+    s.nonEmpty && s.forall(_.isDigit)
+  }
+
   /** Leading capitalized entity of a phrase (object side), stopping at a
-    * comma — "Aarhus, Denmark" → "Aarhus". */
+    * comma — "Aarhus, Denmark" → "Aarhus". Digit tokens extend a
+    * running entity ("Apollo 12"). */
   private[kernel] def entityAtStart(phrase: String): Option[String] = {
     val beforeComma = phrase.split(",")(0)
     val words = Coref.words(beforeComma.trim)
@@ -115,26 +123,34 @@ object Relations {
     val ew = Vector.newBuilder[String]
     ew += stripPunct(words(0))
     var j = 1
-    while (j < words.length && capWord(words(j)) && !words(j - 1).endsWith(".")) {
+    while (j < words.length && (capWord(words(j)) || digitWord(words(j))) &&
+           !words(j - 1).endsWith(".")) {
       ew += stripPunct(words(j)); j += 1
     }
     Some(ew.result().mkString(" "))
   }
 
-  /** Trailing capitalized entity of a phrase (subject side). */
+  /** Trailing capitalized entity of a phrase (subject side); a trailing
+    * digit token joins the capitalized run before it ("Apollo 12"). */
   private[kernel] def entityAtEnd(phrase: String): Option[String] = {
     val words = Coref.words(phrase.trim)
     if (words.isEmpty) return None
     val i0 = words.length - 1
-    if (!capWord(words(i0))) return None
+    if (!capWord(words(i0)) &&
+        !(digitWord(words(i0)) && i0 > 0 && capWord(words(i0 - 1)))) return None
     var i = i0
-    while (i > 0 && capWord(words(i - 1)) &&
+    while (i > 0 && (capWord(words(i - 1)) || digitWord(words(i - 1))) &&
            !words(i - 1).endsWith(",") && !words(i - 1).endsWith(".")) i -= 1
+    // an entity cannot start on a digit token
+    while (i < i0 && digitWord(words(i))) i += 1
     Some(words.slice(i, words.length).map(stripPunct).mkString(" "))
   }
 
-  /** (verb phrase, Schema.org property, object is a date literal). Listed
-    * longest-first so "was founded by" wins over "founded". */
+  /** (verb phrase, Schema.org/WebNLG property, object is a date
+    * literal). Listed longest-first so "was founded by" wins over
+    * "founded" (and "is a part of" over "is part of"). The tail group
+    * covers the WebNLG benchmark's dominant lexicalizations
+    * (webnlg-sample.xml / webnlg-astronaut.xml phrasings). */
   private val patterns: Seq[(String, String, Boolean)] = Seq(
     ("serves the city of", "location", false),
     ("is headquartered in", "location", false),
@@ -147,8 +163,44 @@ object Relations {
     ("was born in", "birthPlace", false),
     ("works for", "worksFor", false),
     ("died on", "deathDate", true),
+    // WebNLG lexicalization group
+    ("is operated by", "operatingOrganisation", false),
+    ("is a part of", "isPartOf", false),
+    ("is part of", "isPartOf", false),
+    ("is situated in", "location", false),
+    ("can be found in", "location", false),
+    ("is found in", "location", false),
+    ("is led by", "leaderName", false),
     ("founded", "worksFor", false) // direction rule (extractor.rs:34)
   )
+
+  /** Reversed copula form "The <property phrase> of <SUBJ> is <OBJ>" —
+    * the other half of the WebNLG lexicalization space ("The leader of
+    * Amsterdam is Eberhard van der Laan"). Tried only when no forward
+    * pattern matched the sentence. */
+  private val reversedPatterns: Seq[(String, String)] = Seq(
+    ("the leader of ", "leaderName"),
+    ("the location of ", "location"))
+
+  private def tryReversed(sentence: String, sentIdx: Int,
+      sentStart: Int, sentEnd: Int): Option[RawRelation] = {
+    val lower = sentence.toLowerCase
+    reversedPatterns.collectFirst {
+      case (prefix, prop) if lower.startsWith(prefix) =>
+        val rest = sentence.substring(prefix.length)
+        for {
+          subj <- entityAtStart(rest)
+          subjAt = rest.indexOf(subj)
+          if subjAt >= 0
+          afterSubj = rest.substring(subjAt + subj.length)
+          isAt = afterSubj.indexOf(" is ")
+          if isAt >= 0
+          obj <- entityAtStart(afterSubj.substring(isAt + 4))
+          if Coref.classifyPronoun(subj).isEmpty && Coref.classifyPronoun(obj).isEmpty
+        } yield RawRelation(subj, classify(subj), prop, obj, objIsEntity = true,
+          classify(obj), sentIdx, 0.9, sentStart, sentEnd, sentence)
+    }.flatten
+  }
 
   private val paddedPatterns: Seq[(String, String, Boolean)] =
     patterns.map { case (vp, p, d) => (" " + vp + " ", p, d) }
@@ -171,8 +223,9 @@ object Relations {
         val sentence = piece.trim
         val sentStart = pieceStart + piece.indexWhere(!_.isWhitespace)
         val sentEnd = sentStart + sentence.length
-        paddedPatterns.find { case (vp, _, _) => sentence.contains(vp) }.foreach {
-          case (vp, prop, isDate) =>
+        val forward = paddedPatterns.find { case (vp, _, _) => sentence.contains(vp) }
+        forward match {
+          case Some((vp, prop, isDate)) =>
             val at = sentence.indexOf(vp)
             val lhs = sentence.substring(0, at)
             val rhs = sentence.substring(at + vp.length)
@@ -191,6 +244,8 @@ object Relations {
                   sentStart, sentEnd, sentence)
               case _ => ()
             }
+          case None =>
+            tryReversed(sentence, sentIdx, sentStart, sentEnd).foreach(out += _)
         }
         sentIdx += 1
       }

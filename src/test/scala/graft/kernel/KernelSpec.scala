@@ -177,6 +177,25 @@ class KernelSpec extends AnyFunSuite {
       Vector(("steve_jobs", "worksfor", "Apple Inc")))
   }
 
+  test("WebNLG lexicalization patterns: forward group + reversed copula form") {
+    // forward: operated-by / part-of / led-by / found-in
+    assert(Relations.extract("Apollo 12 is operated by NASA.")
+      .map(t => (t.subj, PredDict.canonical(t.pred), t.obj)) ==
+      Vector(("Apollo 12", Porter.stemPredicate("operatingOrganisation"), "NASA")))
+    assert(Relations.extract("Abilene is a part of Taylor County.")
+      .map(t => (t.pred, t.obj)) == Vector(("isPartOf", "Taylor County")))
+    assert(Relations.extract("Curitiba is led by Lygia Pape.")
+      .map(t => (t.pred, t.obj)) == Vector(("leaderName", "Lygia Pape")))
+    assert(Relations.extract("Madrid Airport is found in Alcobendas.")
+      .map(t => (t.pred, t.obj)) == Vector(("location", "Alcobendas")))
+    // reversed: "The leader of X is Y"
+    assert(Relations.extract("The leader of Amsterdam is Eberhard van der Laan.")
+      .map(t => (t.subj, t.pred, t.obj)) ==
+      Vector(("Amsterdam", "leaderName", "Eberhard")))
+    // cityServed collapses to location on the gold side too
+    assert(PredDict.canonical("cityServed") == Porter.stemPredicate("location"))
+  }
+
   test("mention typing dictionary") {
     assert(Relations.classify("Aarhus Airport") == "Airport")
     assert(Relations.classify("Stanford University") == "EducationalOrganization")
