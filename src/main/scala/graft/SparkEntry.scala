@@ -45,13 +45,17 @@ object SparkEntry {
     p.toFile.deleteOnExit()
     p.toString
   }
-  private val ckDone = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val ckDone = scala.collection.mutable.HashMap.empty[String, String]
   private def checkpointed(s: SparkSession, key: String)(make: => DataFrame): DataFrame = {
-    val path = ckDone.getOrElseUpdate(key, {
-      val p = s"$ckDir/$key"
-      make.write.mode("overwrite").parquet(p)
-      p
-    })
+    // synchronized: a concurrent harness must not double-write the same
+    // checkpoint path (the write is the side effect being memoized)
+    val path = ckDone.synchronized {
+      ckDone.getOrElseUpdate(key, {
+        val p = s"$ckDir/$key"
+        make.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
     s.read.parquet(path)
   }
 
