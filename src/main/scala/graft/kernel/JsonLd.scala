@@ -291,6 +291,49 @@ object JsonLd {
     }
   }
 
+  /** Stage-1 DISCOVERY document — the GLiNER extractor's output shape
+    * (gliner_extractor.rs:261-327): one entity → a single document with
+    * @id "entity_<start>" and a _metadata provenance block; several →
+    * @graph plus _extractionMetadata. Entities are (text, schemaType,
+    * glinerType, confidence, start, end). */
+  def emitDiscovery(entities: Vector[(String, String, String, Double, Int, Int)],
+      sourceTextLength: Int, extractor: String = "rule-based-ner"): JVal = {
+    def meta(text: String, glinerType: String, confidence: Double,
+        start: Int, end: Int, withExtractor: Boolean): JObj = {
+      val fields = Vector.newBuilder[(String, JVal)]
+      fields += ("text" -> JStr(text))
+      fields += ("startOffset" -> JNum(start.toString))
+      fields += ("endOffset" -> JNum(end.toString))
+      fields += ("confidence" -> JNum(confidence.toString))
+      fields += ("glinerType" -> JStr(glinerType))
+      if (withExtractor) fields += ("extractor" -> JStr(extractor))
+      JObj(fields.result())
+    }
+    val ctx = "@context" -> JStr("https://schema.org/")
+    entities match {
+      case Vector((text, schemaType, glinerType, conf, start, end)) =>
+        JObj(Vector(ctx,
+          "@type" -> JStr(schemaType),
+          "@id" -> JStr(s"entity_$start"),
+          "name" -> JStr(text),
+          "_metadata" -> meta(text, glinerType, conf, start, end, withExtractor = true)))
+      case many =>
+        val graph = many.map { case (text, schemaType, glinerType, conf, start, end) =>
+          JObj(Vector(
+            "@id" -> JStr(s"entity_$start"),
+            "@type" -> JStr(schemaType),
+            "name" -> JStr(text),
+            "_metadata" -> meta(text, glinerType, conf, start, end, withExtractor = false)))
+        }
+        JObj(Vector(ctx,
+          "@graph" -> JArr(graph.map(identity)),
+          "_extractionMetadata" -> JObj(Vector(
+            "extractor" -> JStr(extractor),
+            "extractedEntities" -> JNum(many.length.toString),
+            "sourceTextLength" -> JNum(sourceTextLength.toString)))))
+    }
+  }
+
   /** P6 selective normalization on the parsed tree: slug the ROOT
     * `name` only; preserve nested names (normalize.rs:98-142; goldens
     * normalize.rs:202-265). Returns the root name before/after. */

@@ -63,6 +63,19 @@ object Relations {
     else "Place"
   }
 
+  /** GLiNER-type → Schema.org type mapping (gliner_extractor.rs:234-242
+    * match table, replicated exactly): person / organization-organisation-
+    * company / place-location-city-country / event collapse to the four
+    * Schema.org types, anything else passes through as a custom type. */
+  def mapToSchemaType(glinerType: String): String =
+    glinerType.toLowerCase match {
+      case "person" => "Person"
+      case "organization" | "organisation" | "company" => "Organization"
+      case "place" | "location" | "city" | "country" => "Place"
+      case "event" => "Event"
+      case _ => glinerType
+    }
+
   /** Scan a text for maximal capitalized sequences (same scan as the
     * coref entity pass, /root/reference/src/coref.rs:275-295) and type
     * them. Offsets are into `text`. */

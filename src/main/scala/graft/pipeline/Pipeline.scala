@@ -211,6 +211,24 @@ object Pipeline {
     }.toDF("url", "jsonld")
   }
 
+  /** Stage-1 discovery documents: per resolved chunk, the GLiNER-shape
+    * entity-discovery JSON-LD (gliner_extractor.rs:261-327 — @id =
+    * entity_<start>, _metadata provenance, @graph when several). A pure
+    * narrow map — NER runs in the row function, no shuffle at all. */
+  def discoveryDocuments(resolved: Dataset[ResolvedRow]): DataFrame = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    import graft.kernel.{JsonLd, Relations}
+    resolved.map { r =>
+      val ents = Relations.mentions(r.resolved_text).map { m =>
+        (m.surface, Relations.mapToSchemaType(m.entityType), m.entityType,
+          m.confidence, m.start, m.end)
+      }
+      (r.url, r.chunk_id,
+        JsonLd.render(JsonLd.emitDiscovery(ents, r.resolved_text.length)))
+    }.toDF("url", "chunk_id", "jsonld")
+  }
+
   /** Resolve subj/obj surfaces to IRIs on the triple table.
     * Broadcast tier: two broadcast joins, zero shuffle of triples.
     * Shuffle tier: the triple side carries salt = crc32(url) % S and the

@@ -167,6 +167,41 @@ class JsonLdSpec extends AnyFunSuite {
       JsonLd.FlatTriple("acme_corp", "locat", "Lyon")))
   }
 
+  test("GLiNER-shape discovery document (gliner_extractor.rs:261-327)") {
+    import JVal._
+    // single entity: direct document with @id entity_<start> + _metadata
+    val one = JsonLd.emitDiscovery(
+      Vector(("Alan Bean", "Person", "Person", 0.9, 0, 9)), 40).asInstanceOf[JObj]
+    assert(one.get("@type").contains(JStr("Person")))
+    assert(one.get("@id").contains(JStr("entity_0")))
+    assert(one.get("name").contains(JStr("Alan Bean")))
+    val m = one.get("_metadata").get.asInstanceOf[JObj]
+    assert(m.get("startOffset").contains(JNum("0")) && m.get("endOffset").contains(JNum("9")))
+    assert(m.get("extractor").nonEmpty)
+    // several entities: @graph + _extractionMetadata with the counts
+    val many = JsonLd.emitDiscovery(Vector(
+      ("Alan Bean", "Person", "Person", 0.9, 0, 9),
+      ("Acme Corp", "Organization", "Organization", 0.9, 20, 29)), 60).asInstanceOf[JObj]
+    val graph = many.get("@graph").get.asInstanceOf[JArr]
+    assert(graph.items.length == 2)
+    assert(graph.items.head.asInstanceOf[JObj].get("@id").contains(JStr("entity_0")))
+    val xm = many.get("_extractionMetadata").get.asInstanceOf[JObj]
+    assert(xm.get("extractedEntities").contains(JNum("2")))
+    assert(xm.get("sourceTextLength").contains(JNum("60")))
+    // the document parses back through our own parser (well-formed JSON)
+    assert(JsonParser.parse(JsonLd.render(many)).isRight)
+  }
+
+  test("GLiNER type mapping matches gliner_extractor.rs:234-242") {
+    assert(Relations.mapToSchemaType("person") == "Person")
+    assert(Relations.mapToSchemaType("ORGANISATION") == "Organization")
+    assert(Relations.mapToSchemaType("company") == "Organization")
+    assert(Relations.mapToSchemaType("city") == "Place")
+    assert(Relations.mapToSchemaType("country") == "Place")
+    assert(Relations.mapToSchemaType("event") == "Event")
+    assert(Relations.mapToSchemaType("Spacecraft") == "Spacecraft") // custom passthrough
+  }
+
   test("render/parse is an exact inverse on every fixture document") {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/fixtures/test_cases.json")), "UTF-8")

@@ -116,6 +116,21 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("discovery documents: one GLiNER-shape doc per chunk, shuffle-free") {
+    val resolved = Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(spark, 60, 2))))
+    val docs = Pipeline.discoveryDocuments(resolved)
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "discovery emission must be narrow")
+    val rows = docs.collect()
+    assert(rows.length == resolved.count())
+    assert(rows.forall(_.getString(2).startsWith("""{"@context":"https://schema.org/"""")))
+    // every doc is valid JSON and every entity carries its span metadata
+    rows.take(20).foreach { r =>
+      val parsed = graft.kernel.JsonParser.parse(r.getString(2))
+      assert(parsed.isRight, r.getString(2).take(120))
+    }
+  }
+
   test("JSON-LD emission: every document flattens back to exactly its triples") {
     val trip = Kg.pagesToTriples(Corpus.pages(spark, 100, 4))
     val docs = Pipeline.jsonLdDocuments(trip).collect()
