@@ -91,6 +91,41 @@ class CheckpointedSpec extends SparkTestBase {
     assert(n == Map(fresh -> ms.head.nTriples))
   }
 
+  test("incremental runAll: kept edge partitions untouched; result == full rebuild") {
+    import scala.jdk.CollectionConverters._
+    val dirA = freshDir()
+    val dirB = freshDir()
+    val pages = Corpus.pages(spark, 250, 4)
+    val kb = Corpus.kb(spark, 300)
+    Checkpointed.runAll(pages, kb, dirA, nBuckets = 8, runId = 1) // reference: one shot
+    Checkpointed.runAll(pages, kb, dirB, nBuckets = 8, runId = 1)
+    // simulate a partial crash: odd buckets lose their manifests
+    val doneDir = Paths.get(dirB, "_done")
+    val redo = Checkpointed.doneBuckets(dirB).filter(_ % 2 == 1)
+    assert(redo.nonEmpty)
+    redo.foreach(pk => Files.delete(doneDir.resolve(s"pk=$pk.json")))
+    val kept = Checkpointed.doneBuckets(dirB)
+    assert(kept.nonEmpty)
+    def edgeMtimes(pk: Int): Map[String, Long] = {
+      val d = Paths.get(dirB, "edges", s"pk=$pk")
+      val s = Files.list(d)
+      try s.iterator().asScala.toList
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val before = kept.map(pk => pk -> edgeMtimes(pk)).toMap
+    Thread.sleep(1100)
+    Checkpointed.runAll(pages, kb, dirB, nBuckets = 8, runId = 2) // incremental
+    // O(fresh): the kept buckets' edge files were NOT rewritten
+    kept.foreach(pk => assert(edgeMtimes(pk) == before(pk), s"bucket $pk rewritten"))
+    // result identity with the one-shot rebuild
+    def table(dir: String, name: String) =
+      spark.read.parquet(s"$dir/$name").drop("pk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(table(dirB, "nodes") == table(dirA, "nodes"))
+    assert(table(dirB, "edges") == table(dirA, "edges"))
+  }
+
   test("runAll produces graph tables partitioned by domain bucket") {
     val dir = freshDir()
     val pages = Corpus.pages(spark, 200, 4)
