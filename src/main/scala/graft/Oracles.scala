@@ -100,6 +100,22 @@ object Oracles {
           FROM s) WHERE rank <= 5"""
   }
 
+  val qKnnLshMultiprobe: String = {
+    val bucket = lshBucketExpr("embedding", 64, 4)
+    val probes = (0 until 4).map(b => s"xor(bucket0, ${1L << b})").mkString(", ")
+    s"""WITH cb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        qb AS (SELECT qid, qvec, unnest([bucket0, $probes]) AS bucket FROM (
+                 SELECT vec_id AS qid, embedding AS qvec, bucket AS bucket0
+                 FROM cb WHERE vec_id < 3)),
+        s AS (SELECT qb.qid, cb.vec_id,
+                list_cosine_similarity(cb.embedding::DOUBLE[], qb.qvec::DOUBLE[]) AS cos
+              FROM cb JOIN qb USING (bucket))
+        SELECT qid, vec_id, rank, round(cos, 3) AS cos_sim FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM s) WHERE rank <= 5"""
+  }
+
   val qKnnIvf: String = {
     val scores = (0 until 8).map { c =>
       s"(${dotChain("embedding", Similarity.ivfCentroid(c, 64))})"
@@ -440,6 +456,7 @@ object Oracles {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_knn_lsh" -> qKnnLsh,
+    "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,
     "q_knn_ivf" -> qKnnIvf,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_multimodal_resize" -> qMultimodalResize,

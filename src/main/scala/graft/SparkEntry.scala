@@ -263,6 +263,13 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       ops.Similarity.ivfTopK(q, e, dim = 64, nCentroids = 8, nProbe = 4, k = 5)
     }),
+    // multiprobe LSH ANN: own bucket + every Hamming-1 neighbor probed
+    "q_knn_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ops.Similarity.lshTopKMultiprobe(q, e, dim = 64, nBits = 4, k = 5)
+    }),
     // LSH-bucketed ANN (scale path; recall vs brute measured in OpsSpec)
     "q_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
