@@ -271,6 +271,35 @@ object Oracles {
           FROM ${inp("triples")})
         WHERE rn = 1"""
 
+  /** A3 on the node table re-derived: per-(surface, pred) last write,
+    * then per-(iri, pred) last write among surface winners — the same
+    * two max_by stages as graphFromTriples(includeProps=true), with the
+    * vocabulary rollup + linking + mint from the kg_nodes_edges CTEs. */
+  val kgNodeProps: String =
+    s"""WITH t AS (SELECT * FROM ${inp("triples")}),
+        links AS (SELECT surface, uri FROM ${out("kg_links")}),
+        surfaces AS (SELECT surface, slug FROM (
+          SELECT surface, entity_type, slug,
+            row_number() OVER (PARTITION BY surface ORDER BY entity_type, slug) AS rn
+          FROM (SELECT subj_surface AS surface, subj_type AS entity_type, subj AS slug FROM t
+                UNION ALL
+                SELECT obj, obj_type, obj_slug FROM t WHERE obj_is_entity))
+          WHERE rn = 1),
+        si AS (SELECT s.surface,
+                 coalesce(l.uri, 'https://kg.local/e/' || s.slug || '-' ||
+                   substr(md5(s.surface), 1, 8)) AS iri
+               FROM surfaces s LEFT JOIN links l USING (surface)),
+        lw AS (SELECT subj_surface AS surface, pred, obj, url, chunk_id, sent_idx FROM (
+                 SELECT *, row_number() OVER (PARTITION BY subj_surface, pred
+                   ORDER BY url DESC, chunk_id DESC, sent_idx DESC, obj DESC) AS rn
+                 FROM t) WHERE rn = 1)
+        SELECT iri, pred, obj AS last_obj FROM (
+          SELECT si.iri, lw.pred, lw.obj,
+            row_number() OVER (PARTITION BY si.iri, lw.pred
+              ORDER BY lw.url DESC, lw.chunk_id DESC, lw.sent_idx DESC, lw.obj DESC) AS rn
+          FROM lw JOIN si USING (surface))
+        WHERE rn = 1"""
+
   val kgContextSummary: String =
     s"""WITH l AS (SELECT e.url,
           '- ' || e.canonical_name || ' (' || e.entity_type || ')' ||
@@ -469,6 +498,7 @@ object Oracles {
     "kg_entity_table" -> kgEntityTable,
     "kg_last_entity_of_type" -> kgLastEntityOfType,
     "kg_entity_props" -> kgEntityProps,
+    "kg_node_props" -> kgNodeProps,
     "kg_context_summary" -> kgContextSummary,
     "kg_validate" -> kgValidate,
     "kg_windowed_counts" -> kgWindowedCounts,

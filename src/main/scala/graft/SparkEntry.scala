@@ -141,6 +141,15 @@ object SparkEntry {
     "kg_entity_props" -> ((s, dir) => {
       Kg.entityProps(triplesFor(s, dir))
     }),
+    // A3 on the NODE table: per-IRI props map (graphFromTriples
+    // includeProps tier), exploded for the oracle
+    "kg_node_props" -> ((s, dir) => {
+      import s.implicits._
+      val trip = triplesFor(s, dir).as[TripleRow]
+      val (nodes, _) = Pipeline.graphFromTriples(trip, Corpus.kb(s), includeProps = true)
+      nodes.filter(col("props").isNotNull)
+        .select(col("iri"), explode(col("props")).as(Seq("pred", "last_obj")))
+    }),
     // S-family: WebNLG XML corpus ingest + gold denormalization over the
     // reference's own fixture data (tests/fixtures/webnlg-astronaut.xml)
     "webnlg_triples" -> ((s, dir) => {
