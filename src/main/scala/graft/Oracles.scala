@@ -6,7 +6,7 @@ import graft.pipeline.Validate
 
 /** DuckDB oracle SQL for the queries whose inputs are not driver tables:
   * the kg_* pipeline queries read kernel-computed intermediates that
-  * Verify dumps under `{OUT}/_inputs/` (the `{OUT}` placeholder is
+  * Verify dumps under `{OUT}__inputs/` (the `{OUT}` placeholder is
   * replaced with the absolute output directory by Verify), and the
   * hash/ANN queries embed the engine's own deterministic constants
   * (md5 is bit-identical across engines; hyperplane/centroid components
@@ -20,7 +20,10 @@ import graft.pipeline.Validate
   */
 object Oracles {
 
-  private def inp(name: String) = s"read_parquet('{OUT}/_inputs/$name/*.parquet')"
+  // inputs live in a SIBLING of the output dir ({OUT}__inputs), not under
+  // {OUT}: the driver's comparator globs {OUT}/* as query outputs and
+  // errs on the array-typed input dumps (CORRECTNESS_r02 `_inputs` row)
+  private def inp(name: String) = s"read_parquet('{OUT}__inputs/$name/*.parquet')"
   private def out(name: String) = s"read_parquet('{OUT}/$name/*.parquet')"
 
   /** 60-bit md5 hash: DuckDB equivalent of
@@ -447,6 +450,66 @@ object Oracles {
           (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triples,
           (SELECT CAST(sum(CASE WHEN subj_type <> '' THEN 1 ELSE 0 END) AS BIGINT) FROM t) AS n_typed"""
 
+  /** JSON string escape matching kernel JsonLd.render's esc() for the
+    * characters that can occur in corpus values (backslash first, then
+    * quote and the whitespace controls). */
+  private def jesc(e: String): String =
+    s"replace(replace(replace(replace(replace($e," +
+      s" '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+
+  /** canonical (stemmed) predicate → Schema.org property for emission
+    * (PredDict.canonicalToSchema embedded verbatim). */
+  private val schemaKeyCase: String = {
+    val whens = PredDict.canonicalToSchema.toSeq.sorted.map { case (k, v) =>
+      s"WHEN '$k' THEN '$v'"
+    }.mkString(" ")
+    s"CASE pred $whens ELSE pred END"
+  }
+
+  /** T4⁻¹ oracle: rebuild every JSON-LD document STRING from the dumped
+    * triple table — row order (chunk_id, sent_idx, pred, obj, subj),
+    * subjects in first-appearance order, property keys in
+    * first-appearance order, values in row order, multi-values as
+    * arrays, merge_chunks' 1-entity/N-entity document shapes
+    * (types.rs:170-196, extractor.rs:495-550) — and hash-compare against
+    * the emitted column. */
+  val kgJsonldDocs: String =
+    s"""WITH r AS (SELECT url, subj, subj_surface, subj_type, pred, obj,
+          obj_is_entity, obj_type,
+          row_number() OVER (PARTITION BY url
+            ORDER BY chunk_id, sent_idx, pred, obj, subj) AS rn
+        FROM ${inp("triples")}),
+        k AS (SELECT url, subj, subj_surface, subj_type, rn,
+          $schemaKeyCase AS skey,
+          CASE WHEN obj_is_entity
+            THEN '{"@type":"' || ${jesc("obj_type")} || '","name":"' || ${jesc("obj")} || '"}'
+            ELSE '"' || ${jesc("obj")} || '"' END AS val
+        FROM r),
+        pk AS (SELECT url, subj, skey, min(rn) AS k_rn,
+          list(val ORDER BY rn) AS vals
+        FROM k GROUP BY url, subj, skey),
+        pr AS (SELECT url, subj, k_rn,
+          '"' || skey || '":' ||
+          CASE WHEN len(vals) = 1 THEN vals[1]
+               ELSE '[' || array_to_string(vals, ',') || ']' END AS prop
+        FROM pk),
+        sh AS (SELECT url, subj, min(rn) AS s_rn,
+          arg_min(subj_surface, rn) AS name, arg_min(subj_type, rn) AS tpe
+        FROM k GROUP BY url, subj),
+        pj AS (SELECT url, subj,
+          array_to_string(list(prop ORDER BY k_rn), ',') AS props
+        FROM pr GROUP BY url, subj),
+        ent AS (SELECT sh.url, sh.s_rn,
+          '{"@type":"' || ${jesc("sh.tpe")} || '","name":"' || ${jesc("sh.name")} || '",' ||
+          pj.props || '}' AS e
+        FROM sh JOIN pj USING (url, subj))
+        SELECT url,
+          CASE WHEN count(*) = 1
+            THEN '{"@context":"https://schema.org/",' || substr(min(e), 2)
+            ELSE '{"@context":"https://schema.org/","@graph":[' ||
+              array_to_string(list(e ORDER BY s_rn), ',') || ']}' END AS jsonld
+        FROM ent GROUP BY url"""
+
   /** WebNLG gold denorm re-derived from the dumped entry rows: unnest
     * mtriples, split on " | ", strip literal quotes. */
   val webnlgTriples: String =
@@ -506,6 +569,7 @@ object Oracles {
     "kg_docred_cross_sentence" -> kgDocredCrossSentence,
     "kg_links" -> kgLinks,
     "kg_nodes_edges" -> kgNodesEdges,
+    "kg_jsonld_docs" -> kgJsonldDocs,
     "webnlg_triples" -> webnlgTriples,
     "webnlg_eval" -> webnlgEval)
 }

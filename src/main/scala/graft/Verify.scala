@@ -8,13 +8,17 @@ import graft.pipeline.{Corpus, DocRed, Kg}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Also dumps the ORACLE INPUT tables under `outDir/_inputs/` — the
-  * kernel-computed intermediates (gold triples, full triple table,
-  * mention rows, alias sets, docred corpus, KB labels, decoded image
-  * metadata, page timestamps) that the kg_* oracles re-derive their
-  * answers from. Oracle SQL references them via the `{OUT}` placeholder,
-  * substituted here with the ABSOLUTE output path so DuckDB resolves
-  * them regardless of its working directory. */
+  * Also dumps the ORACLE INPUT tables under the SIBLING directory
+  * `<outDir>__inputs/` — the kernel-computed intermediates (gold
+  * triples, full triple table, mention rows, alias sets, docred corpus,
+  * KB labels, decoded image metadata, page timestamps) that the kg_*
+  * oracles re-derive their answers from. A sibling, not a child: the
+  * driver's comparator enumerates every child of outDir as a query
+  * output, and the array-typed input dumps made its pandas compare err
+  * (CORRECTNESS_r02 `_inputs` row). Oracle SQL references them via the
+  * `{OUT}` placeholder ("{OUT}__inputs/..."), substituted here with the
+  * ABSOLUTE output path so DuckDB resolves them regardless of its
+  * working directory. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir0) = args
@@ -61,7 +65,7 @@ object Verify {
   def dumpInputs(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val n = SparkEntry.pagesFor(sfDir)
     def w(df: DataFrame, name: String): Unit =
-      try df.write.mode("overwrite").parquet(s"$outDir/_inputs/$name")
+      try df.write.mode("overwrite").parquet(s"${outDir}__inputs/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] input dump $name failed: ${e.getMessage}")
       }

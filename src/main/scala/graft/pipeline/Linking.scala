@@ -82,30 +82,59 @@ object Linking {
 
   /** J2 fuzzy linking: block on the first token of the lowercased
     * surface/label (explode-free: both sides derive the same key), then
-    * Jaro-Winkler ≥ fuzzyThreshold as confidence. */
-  def linkFuzzy(mentions: Dataset[MentionRow], kb: Dataset[KbEntry]): DataFrame = {
+    * Jaro-Winkler ≥ fuzzyThreshold as confidence. `broadcastKb = false`
+    * switches to the large-KB shape: the KB side is SPLIT across salts
+    * by label hash and the mention side replicated per salt, so one
+    * Zipfian-hot block never lands on one reducer. */
+  def linkFuzzy(mentions: Dataset[MentionRow], kb: Dataset[KbEntry],
+      broadcastKb: Boolean = true, salts: Int = 16): DataFrame = {
     val m = mentionKeys(mentions)
       .withColumn("block", split(col("surface_lc"), " ").getItem(0))
     val k = kb.toDF
       .withColumn("block", split(col("label_lc"), " ").getItem(0))
-    val cands = m.join(broadcast(k), "block")
+    val cands0 =
+      if (broadcastKb) m.join(broadcast(k), "block")
+      else {
+        val ks = k.withColumn("salt", pmod(hash(col("label_lc")), lit(salts)).cast("int"))
+        val ms = m.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        ms.join(ks, Seq("block", "salt")).drop("salt")
+      }
+    val cands = cands0
       .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
       .filter(col("confidence") >= fuzzyThreshold)
       .select(col("url"), col("surface"), col("uri"), col("confidence"))
     top1(cands)
   }
 
+  /** KB row count under which `link` broadcasts the KB (mirrors
+    * Pipeline.defaultBroadcastKbLimit). */
+  val defaultBroadcastKbLimit = 5000000L
+
   /** Exact-first, fuzzy-fallback linking (the reference tries exact then
     * fuzzy per its use_fuzzy_matching config; we take exact wins and only
-    * fuzzy-match the leftovers — same top-1 result, less work). */
-  def link(mentions: Dataset[MentionRow], kb: Dataset[KbEntry]): DataFrame = {
-    val exact = linkBroadcast(mentions, kb)
+    * fuzzy-match the leftovers — same top-1 result, less work).
+    * SIZE-TIERED on the measured KB count (or caller hint): broadcast
+    * under the limit; above it exact goes through the salted shuffle
+    * (`linkSalted`) and fuzzy through the salted blocked join. */
+  def link(mentions: Dataset[MentionRow], kb: Dataset[KbEntry],
+      broadcastKbLimit: Long = defaultBroadcastKbLimit,
+      kbCountHint: Option[Long] = None): DataFrame = {
+    val kbN = kbCountHint.getOrElse(kb.count())
+    val useBroadcast = kbN <= broadcastKbLimit
+    val exact = if (useBroadcast) linkBroadcast(mentions, kb) else linkSalted(mentions, kb)
     val misses = mentionKeys(mentions)
       .join(exact.select("url", "surface"), Seq("url", "surface"), "left_anti")
     val fuzzy = {
       val k = kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))
       val m = misses.withColumn("block", split(col("surface_lc"), " ").getItem(0))
-      val cands = m.join(broadcast(k), "block")
+      val cands0 =
+        if (useBroadcast) m.join(broadcast(k), "block")
+        else {
+          val ks = k.withColumn("salt", pmod(hash(col("label_lc")), lit(16)).cast("int"))
+          val ms = m.withColumn("salt", explode(sequence(lit(0), lit(15))))
+          ms.join(ks, Seq("block", "salt")).drop("salt")
+        }
+      val cands = cands0
         .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
         .filter(col("confidence") >= fuzzyThreshold)
         .select(col("url"), col("surface"), col("uri"), col("confidence"))

@@ -27,24 +27,58 @@ object Pipeline {
   private def jw(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.functions.JaroWinklerExpression.jaroWinkler(a, b)
 
+  /** KB row count under which the KB side of linking is broadcast. Above
+    * it (the survey's own KB model: 10^8-10^9 labels, SURVEY §1) a
+    * broadcast would OOM every executor, so linking switches to shuffle
+    * joins: a plain shuffle for the exact match (labels AND surfaces are
+    * both distinct keys — no skew possible) and a salted shuffle for the
+    * token-blocked fuzzy join (blocks are Zipfian — "the", common first
+    * names — so the KB side is SPLIT by label hash and the
+    * vocabulary-sized miss side replicated per salt). ~5M short label
+    * rows ≈ hundreds of MB — tune per executor memory. */
+  val defaultBroadcastKbLimit = 5000000L
+
+  /** Salt count for the large-KB fuzzy blocked join (spreads one hot
+    * block's KB labels over this many shuffle keys). */
+  val fuzzyBlockSalts = 16
+
   /** Link a distinct-surface DataFrame (column `surface`) against the KB:
     * exact (0.95) else blocked fuzzy JW (≥0.8), threshold 0.5, top-1 per
     * surface by (confidence desc, uri asc). Returns (surface, uri,
-    * link_confidence). */
-  def linkSurfaces(surfaces: DataFrame, kb: Dataset[KbEntry]): DataFrame = {
+    * link_confidence).
+    *
+    * SIZE-TIERED on the measured KB count (or a caller hint, so repeated
+    * calls don't re-count): broadcast under `broadcastKbLimit`, shuffle
+    * joins above — exact unsalted (unique keys both sides), fuzzy salted
+    * on the block key with the KB side split by `hash(label_lc) % S` and
+    * the miss side exploded across salts (replicate the small side,
+    * split the big side). Both tiers are result-identical (PlanSpec). */
+  def linkSurfaces(surfaces: DataFrame, kb: Dataset[KbEntry],
+      broadcastKbLimit: Long = defaultBroadcastKbLimit,
+      kbCountHint: Option[Long] = None): DataFrame = {
+    val kbN = kbCountHint.getOrElse(kb.count())
+    val useBroadcast = kbN <= broadcastKbLimit
+    def kbSide(df: DataFrame) = if (useBroadcast) broadcast(df) else df
     val s = surfaces.withColumn("surface_lc", lower(col("surface")))
-    val exact = s.join(broadcast(kb.toDF), col("surface_lc") === col("label_lc"))
+    val exact = s.join(kbSide(kb.toDF), col("surface_lc") === col("label_lc"))
       .select(col("surface"), col("uri"), lit(Linking.exactConfidence).as("confidence"))
-    val misses = s.join(broadcast(kb.toDF.select(col("label_lc"))),
+    val misses = s.join(kbSide(kb.toDF.select(col("label_lc"))),
         col("surface_lc") === col("label_lc"), "left_anti")
       .withColumn("block", split(col("surface_lc"), " ").getItem(0))
     // KB labels are unique, so exact matches are already top-1; only the
     // fuzzy side can produce multiple candidates and needs the window.
     val w = Window.partitionBy(col("surface"))
       .orderBy(col("confidence").desc, col("uri").asc)
-    val fuzzy = misses.join(
-        broadcast(kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))),
-        "block")
+    val kbBlocked = kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))
+    val fuzzyCands =
+      if (useBroadcast) misses.join(broadcast(kbBlocked), "block")
+      else {
+        val nSalt = lit(fuzzyBlockSalts)
+        val k = kbBlocked.withColumn("salt", pmod(hash(col("label_lc")), nSalt).cast("int"))
+        val m = misses.withColumn("salt", explode(sequence(lit(0), nSalt - 1)))
+        m.join(k, Seq("block", "salt")).drop("salt")
+      }
+    val fuzzy = fuzzyCands
       .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
       .filter(col("confidence") >= Linking.fuzzyThreshold &&
         col("confidence") >= Linking.confidenceThreshold)
@@ -110,7 +144,8 @@ object Pipeline {
     * no additional dedup shuffle either way. */
   def graphFromTriples(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
       broadcastVocabLimit: Long = defaultBroadcastVocabLimit,
-      includeProps: Boolean = false): (DataFrame, DataFrame) = {
+      includeProps: Boolean = false,
+      broadcastKbLimit: Long = defaultBroadcastKbLimit): (DataFrame, DataFrame) = {
     // ONE big-table rollup: every distinct entity surface with its
     // deterministic representative (type, slug). classify() is a pure
     // function of the surface, so min_by just pins tie order.
@@ -130,7 +165,7 @@ object Pipeline {
 
     // Linking + IRI minting, all vocabulary-sized. links has unique
     // surface keys, so the non-broadcast join needs no salt (no skew).
-    val links = linkSurfaces(surfaceInfo.select(col("surface")), kb)
+    val links = linkSurfaces(surfaceInfo.select(col("surface")), kb, broadcastKbLimit)
     val linkSide = links.select(col("surface"), col("uri"))
     val surfaceIri = surfaceInfo
       .join(if (useBroadcast) broadcast(linkSide) else linkSide, Seq("surface"), "left")
@@ -191,7 +226,10 @@ object Pipeline {
     import graft.kernel.{JsonLd, JVal, PredDict}
     import graft.kernel.JVal.JStr
     trip.groupByKey(_.url).mapGroups { (url, it) =>
-      val rows = it.toVector.sortBy(t => (t.chunk_id, t.sent_idx, t.pred, t.obj))
+      // subj completes the sort key: (url, subj, pred, obj) is unique
+      // after dedup, so document assembly is fully deterministic (and
+      // therefore reconstructible by the DuckDB oracle)
+      val rows = it.toVector.sortBy(t => (t.chunk_id, t.sent_idx, t.pred, t.obj, t.subj))
       // subjects in first-appearance order; properties in emission order
       val bySubj = scala.collection.mutable.LinkedHashMap
         .empty[String, (String, String, scala.collection.mutable.LinkedHashMap[String, Vector[JVal]])]

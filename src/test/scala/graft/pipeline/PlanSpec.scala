@@ -113,6 +113,73 @@ class PlanSpec extends SparkTestBase {
       "top-1 per surface should push the rank limit below the window:\n" + plan.take(1000))
   }
 
+  test("forced large-KB tier: linking never broadcasts the KB, fuzzy join is salted") {
+    // kill every auto-broadcast path so the plan shows the honest large-KB shape
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val trip = Kg.pagesToTriples(Corpus.pages(spark, 100, 4)).toDF
+      val surfaces = trip.select(col("subj_surface").as("surface"))
+        .unionByName(trip.filter(col("obj_is_entity")).select(col("obj").as("surface")))
+        .distinct()
+      val df = Pipeline.linkSurfaces(surfaces, Corpus.kb(spark, 500),
+        broadcastKbLimit = 0L) // force the huge-KB path
+      df.collect() // AQE final plan
+      val plan = executedPlan(df)
+      assert(!plan.contains("BroadcastExchange"),
+        "large-KB tier must not broadcast the KB:\n" + plan.take(1500))
+      assert(!plan.contains("CartesianProduct"))
+      // the fuzzy blocked join must carry the salt key and the replicated
+      // (exploded) miss side. (The pmod(hash) salt itself gets
+      // constant-folded into the LocalTableScan at this KB size — the
+      // tiny test KB is a LocalRelation — so gate on the join keys.)
+      assert(plan.contains("salt#"), "salt key missing from the fuzzy join:\n" + plan.take(1500))
+      assert(plan.contains("explode"), "miss side should replicate across salts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("size-tiered KB linking: both tiers produce identical links and graphs") {
+    val trip = Kg.pagesToTriples(Corpus.pages(spark, 120, 4))
+    val kb = Corpus.kb(spark, 500)
+    val surfaces = trip.toDF.select(col("subj_surface").as("surface"))
+      .unionByName(trip.toDF.filter(col("obj_is_entity")).select(col("obj").as("surface")))
+      .distinct()
+    def sortedL(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("surface", "uri").collect().map(_.toSeq).toSeq
+    val lB = Pipeline.linkSurfaces(surfaces, kb)
+    val lS = Pipeline.linkSurfaces(surfaces, kb, broadcastKbLimit = 0L)
+    assert(sortedL(lB) == sortedL(lS))
+    assert(lB.count() > 0)
+    // and end-to-end through graphFromTriples
+    def sortedE(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("url", "src_iri", "pred", "dst_iri", "obj_literal")
+        .collect().map(_.toSeq).toSeq
+    val (nB, eB) = Pipeline.graphFromTriples(trip, kb)
+    val (nS, eS) = Pipeline.graphFromTriples(trip, kb, broadcastKbLimit = 0L)
+    assert(sortedE(eB) == sortedE(eS))
+    assert(nB.orderBy("iri").collect().map(_.toSeq).toSeq ==
+      nS.orderBy("iri").collect().map(_.toSeq).toSeq)
+  }
+
+  test("size-tiered operator-form link: tiers identical, large tier salts the KB") {
+    import spark.implicits._
+    val ments = (0 until 300).map(i =>
+      MentionRow(s"https://d${i % 40}.example.org/p$i", 0,
+        if (i % 3 == 0) "Acme Corp" else if (i % 3 == 1) "Acme Crop" else s"Entity $i",
+        "Organization", 0, 9, 0.9)).toDS
+    val kb = Corpus.kb(spark, 200)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("url", "surface", "uri").collect().map(_.toSeq).toSeq
+    val b = Linking.link(ments, kb)
+    val s = Linking.link(ments, kb, broadcastKbLimit = 0L)
+    assert(sorted(b) == sorted(s))
+    assert(b.count() > 0)
+  }
+
   test("salted join variant spreads one hot key across all salts") {
     import spark.implicits._
     // one very hot mention key joined against the KB
