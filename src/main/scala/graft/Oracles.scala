@@ -141,6 +141,33 @@ object Oracles {
           FROM s) WHERE rank <= 5"""
   }
 
+  /** Trained-IVF oracle: assignment, probe list and ranking re-derived
+    * from the DUMPED codebook doubles. The dot product is a left fold in
+    * index order seeded with 0.0 (list_reduce over list_prepend), the
+    * exact fold order of the Column reduce(_ + _) chain, so scores are
+    * bit-identical to the Spark side. */
+  val qKnnIvfTrained: String =
+    s"""WITH cents AS (SELECT centroid, cvec FROM ${inp("ivf_centroids")}),
+        sc AS (SELECT e.vec_id, e.embedding, c.centroid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i])),
+                   (a, b) -> a + b) AS score
+               FROM embeddings e CROSS JOIN cents c),
+        cb AS (SELECT vec_id, embedding, centroid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, centroid ASC) AS rn FROM sc) WHERE rn = 1),
+        qp AS (SELECT vec_id AS qid, embedding AS qvec, centroid FROM sc
+               WHERE vec_id < 3
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, centroid DESC) <= 4),
+        s AS (SELECT qp.qid, cb.vec_id,
+                list_cosine_similarity(cb.embedding::DOUBLE[], qp.qvec::DOUBLE[]) AS cos
+              FROM cb JOIN qp USING (centroid))
+        SELECT qid, vec_id, rank, round(cos, 3) AS cos_sim FROM (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM s) WHERE rank <= 5"""
+
   val qDedupEmbedding: String = {
     val bucket = lshBucketExpr("embedding", 64, 8)
     s"""WITH cb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
@@ -371,14 +398,14 @@ object Oracles {
   private def slugExpr(e: String) =
     s"trim(regexp_replace(lower($e), '[^a-z0-9]+', '_', 'g'), '_')"
 
-  private val docredDenormBody: String =
+  private def docredDenormBody(input: String): String =
     s"""fm AS (SELECT id,
           unnest(range(len(vertexSet))) AS vidx,
           unnest(list_transform(vertexSet, c -> c[1].name)) AS first_name,
           unnest(list_transform(vertexSet, c -> c[1].sent_id)) AS first_sent
-        FROM ${inp("docred")}),
+        FROM ${inp(input)}),
         lab AS (SELECT id, u.h AS h, u.t AS t, u.r AS r FROM (
-          SELECT id, unnest(labels) AS u FROM ${inp("docred")})
+          SELECT id, unnest(labels) AS u FROM ${inp(input)})
           WHERE u.r IN ($wikidataKeys)),
         den AS (SELECT lab.id,
           ${slugExpr("hm.first_name")} AS subj,
@@ -390,10 +417,22 @@ object Oracles {
         JOIN fm tm ON lab.id = tm.id AND lab.t = tm.vidx)"""
 
   val kgDocredDenorm: String =
-    s"""WITH $docredDenormBody SELECT id, subj, pred, obj, h_sent, t_sent FROM den"""
+    s"""WITH ${docredDenormBody("docred")} SELECT id, subj, pred, obj, h_sent, t_sent FROM den"""
 
   val kgDocredCrossSentence: String =
-    s"""WITH $docredDenormBody
+    s"""WITH ${docredDenormBody("docred")}
+        SELECT id, CAST(count(*) AS BIGINT) AS n_relations,
+          CAST(sum(CASE WHEN h_sent <> t_sent THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cross_sentence
+        FROM den GROUP BY id"""
+
+  /** Same denorm arithmetic over the REAL reference fixture (dumped by
+    * Verify from the executor-side JSON ingest). */
+  val docredRealDenorm: String =
+    s"""WITH ${docredDenormBody("docred_real")} SELECT id, subj, pred, obj, h_sent, t_sent FROM den"""
+
+  val docredRealCrossSentence: String =
+    s"""WITH ${docredDenormBody("docred_real")}
         SELECT id, CAST(count(*) AS BIGINT) AS n_relations,
           CAST(sum(CASE WHEN h_sent <> t_sent THEN 1 ELSE 0 END) AS BIGINT)
             AS n_cross_sentence
@@ -550,6 +589,7 @@ object Oracles {
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,
     "q_knn_ivf" -> qKnnIvf,
+    "q_knn_ivf_trained" -> qKnnIvfTrained,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
@@ -567,6 +607,8 @@ object Oracles {
     "kg_windowed_counts" -> kgWindowedCounts,
     "kg_docred_denorm" -> kgDocredDenorm,
     "kg_docred_cross_sentence" -> kgDocredCrossSentence,
+    "docred_real_denorm" -> docredRealDenorm,
+    "docred_real_cross_sentence" -> docredRealCrossSentence,
     "kg_links" -> kgLinks,
     "kg_nodes_edges" -> kgNodesEdges,
     "kg_jsonld_docs" -> kgJsonldDocs,

@@ -69,6 +69,19 @@ object SparkEntry {
     checkpointed(s, s"resolved_${pagesFor(dir)}")(
       Kg.resolve(Kg.chunk(Kg.extractText(Corpus.pages(s, pagesFor(dir))))).toDF)
 
+  /** Per-JVM memoized k-means IVF codebook for the sf's embeddings
+    * table. Spark double sums carry partition-order ulp jitter, so the
+    * fit is not bit-reproducible ACROSS runs — memoizing makes Verify's
+    * input dump and the q_knn_ivf_trained query share the exact same
+    * doubles inside one JVM (the production analogue: fit once, persist
+    * the codebook, every reader loads the table). */
+  private val ivfCache = scala.collection.mutable.HashMap.empty[String, Array[Array[Double]]]
+  def ivfCentroidsFor(s: SparkSession, dir: String): Array[Array[Double]] =
+    ivfCache.synchronized {
+      ivfCache.getOrElseUpdate(dir,
+        ops.Similarity.fitCentroids(t(s, dir, "embeddings"), dim = 64, k = 8, iters = 3))
+    }
+
   /** Checkpointed (url, warc_ts) of the corpus at this sf. */
   def pagesTsFor(s: SparkSession, dir: String): DataFrame =
     checkpointed(s, s"pages_ts_${pagesFor(dir)}")(
@@ -233,9 +246,10 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       ops.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
     }),
-    // SimHash 64-bit signatures (rows-only; hamming property in OpsSpec)
+    // SimHash 64-bit signatures — one-pass kernel (equivalence-tested
+    // against the columnar spec; hamming property in OpsSpec)
     "q_dedup_simhash" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"), ops.Dedup.simhash(col("text")).as("simhash"))
+      ops.Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")
     }),
     // n-gram (token) Jaccard over a deterministic candidate pairing
     "q_jaccard_pairs" -> ((s, dir) => {
@@ -271,6 +285,16 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       ops.Similarity.ivfTopK(q, e, dim = 64, nCentroids = 8, nProbe = 4, k = 5)
+    }),
+    // IVF over the TRAINED k-means codebook (fitCentroids, persisted as
+    // a tiny centroid table by Verify; oracle re-derives assignment,
+    // probes and ranking from the dumped doubles)
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ops.Similarity.ivfTopKWith(q, e, dim = 64,
+        centroids = ivfCentroidsFor(s, dir), nProbe = 4, k = 5)
     }),
     // multiprobe LSH ANN: own bucket + every Hamming-1 neighbor probed
     "q_knn_lsh_multiprobe" -> ((s, dir) => {
@@ -370,11 +394,19 @@ object SparkEntry {
     }),
     // J9: DocRED-style denormalization (posexplode + double join)
     "kg_docred_denorm" -> ((s, dir) => {
-      DocRed.goldTriples(DocRed.corpus(s, pagesFor(dir) / 10))
+      DocRed.goldTriples(DocRed.corpus(s, pagesFor(dir) / 10).toDF)
     }),
     // A11: cross-sentence relation counts
     "kg_docred_cross_sentence" -> ((s, dir) => {
-      DocRed.crossSentenceCounts(DocRed.corpus(s, pagesFor(dir) / 10))
+      DocRed.crossSentenceCounts(DocRed.corpus(s, pagesFor(dir) / 10).toDF)
+    }),
+    // J9/A11 over the reference's REAL DocRED fixture (executor-side
+    // JSON parse, same denorm + dictionary mapping, oracle-checked)
+    "docred_real_denorm" -> ((s, dir) => {
+      DocRed.goldTriples(sources.DocRedJson.docs(s))
+    }),
+    "docred_real_cross_sentence" -> ((s, dir) => {
+      DocRed.crossSentenceCounts(sources.DocRedJson.docs(s))
     }),
     // A8/A9: per-case metrics + aggregate over the live pipeline
     "kg_eval_aggregate" -> ((s, dir) => {

@@ -79,12 +79,17 @@ object Verify {
     w(SparkEntry.pagesTsFor(spark, sfDir), "pages_ts")
     w(Corpus.kb(spark).toDF, "kb")
     w(DocRed.corpus(spark, n / 10).toDF, "docred")
+    w(sources.DocRedJson.docs(spark), "docred_real")
     w(ops.Multimodal.decode(
       ops.Multimodal.images(spark, SparkEntry.imagesFor(sfDir))).toDF, "images_meta")
     w(ops.Multimodal.decodeVideo(
       ops.Multimodal.videos(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "videos_meta")
     w(ops.Multimodal.decodeAudio(
       ops.Multimodal.audios(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "audio_meta")
+    // trained IVF codebook: the same memoized fit q_knn_ivf_trained
+    // uses, persisted so the oracle re-derives from identical doubles
+    w(ops.Similarity.centroidsToDF(spark,
+      SparkEntry.ivfCentroidsFor(spark, sfDir)), "ivf_centroids")
     val webnlg = sources.WebNlg.entries(spark, SparkEntry.webnlgPath)
     w(webnlg.toDF, "webnlg")
     w(sources.WebNlg.predicted(webnlg), "webnlg_pred")

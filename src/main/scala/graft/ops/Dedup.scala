@@ -204,7 +204,11 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature = sign(sum of ±1 per bit over token
-    * hashes). Computed scan-side with bit arithmetic. */
+    * hashes). COLUMNAR SPEC form — 64 independent `aggregate` passes,
+    * each re-traversing the token-hash array: correct, but exactly the
+    * expression-tree shape the MinHash kernel replaced (constant-factor
+    * 64 per doc). Kept as the executable spec for the equivalence test;
+    * use `simhashTable` on the hot path. */
   def simhash(text: Column): Column = {
     val toks = split(regexp_replace(lower(text), "\\s+", " "), " ")
     val hashes = transform(toks, t => md5Long(t))
@@ -213,5 +217,45 @@ object Dedup {
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** One-pass SimHash kernel: identical semantics to `simhash` (pinned
+    * by the OpsSpec equivalence test and the q_dedup_simhash DuckDB
+    * oracle) — lowercased text, whitespace collapsed, split on single
+    * spaces with trailing empties kept, 60-bit md5-prefix token hash,
+    * ±1 vote per bit, bit set when votes > 0 — in ONE loop over the
+    * tokens instead of 64 Catalyst array traversals. */
+  def simhashKernel(text: String, md: java.security.MessageDigest): Long = {
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5Long60(toks(i), md)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash signatures for a whole table, kernel form (the production
+    * path): one narrow mapPartitions pass, no shuffle. Returns
+    * (idCol, simhash). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) => (id, simhashKernel(if (t == null) "" else t, md)) }
+      }
+      .toDF(idCol, "simhash")
   }
 }

@@ -165,6 +165,24 @@ object Similarity {
     cents
   }
 
+  /** Persist shape for a fitted codebook: one row per centroid,
+    * (centroid INT, cvec ARRAY<DOUBLE>) — tiny (k×dim doubles), written
+    * as parquet next to the index so the query side and any oracle load
+    * the EXACT doubles the fit produced. */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("centroid", "cvec")
+  }
+
+  /** Load a persisted codebook back into the Array form ivfTopKWith
+    * takes (ordered by centroid id). */
+  def centroidsFromDF(df: DataFrame): Array[Array[Double]] =
+    df.select(col("centroid"), col("cvec")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
   /** IVF over an explicit codebook (e.g. a fitCentroids result). */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, dim: Int,
       centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {

@@ -41,9 +41,11 @@ object DocRed {
 
   /** First mention of each cluster: element 0 in vector order —
     * exactly `vertexSet[idx].first()` (docred_evaluation.rs:186-191),
-    * NOT min-by-sentence. */
-  def firstMentions(docs: Dataset[DocRedDoc]): DataFrame =
-    docs.toDF.select(col("id"), posexplode(col("vertexSet")).as(Seq("vidx", "cluster")))
+    * NOT min-by-sentence. Takes any DataFrame with (id, vertexSet,
+    * labels) — the synthetic corpus or the real fixture ingest
+    * (sources.DocRedJson), whose id is a string. */
+  def firstMentions(docs: DataFrame): DataFrame =
+    docs.select(col("id"), posexplode(col("vertexSet")).as(Seq("vidx", "cluster")))
       .select(col("id"), col("vidx"),
         element_at(col("cluster"), 1).getField("name").as("first_name"),
         element_at(col("cluster"), 1).getField("sent_id").as("first_sent"))
@@ -56,9 +58,9 @@ object DocRed {
     * stemmed, object verbatim (docred_evaluation.rs:236,262). Labels
     * with unmapped Wikidata ids are dropped (map_wikidata_to_schema
     * returns None → skip). */
-  def goldTriples(docs: Dataset[DocRedDoc]): DataFrame = {
+  def goldTriples(docs: DataFrame): DataFrame = {
     val fm = firstMentions(docs)
-    val labels = docs.toDF.select(col("id"), explode(col("labels")).as("l"))
+    val labels = docs.select(col("id"), explode(col("labels")).as("l"))
       .select(col("id"), col("l.h").as("h"), col("l.t").as("t"), col("l.r").as("r"))
       .filter(col("r").isin(PredDict.wikidataToSchema.keys.toSeq: _*))
     labels
@@ -75,7 +77,7 @@ object DocRed {
 
   /** A11: relations whose head/tail first mentions live in different
     * sentences (docred_evaluation.rs:380-399). */
-  def crossSentenceCounts(docs: Dataset[DocRedDoc]): DataFrame =
+  def crossSentenceCounts(docs: DataFrame): DataFrame =
     goldTriples(docs)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_relations"),

@@ -64,6 +64,28 @@ class OpsSpec extends SparkTestBase {
     assert(full.count() == 28)
   }
 
+  test("one-pass simhash kernel == columnar executable spec, bit for bit") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short"), (3L, ""), (4L, "two words"),
+      (5L, "  leading and   trailing whitespace  "),
+      (6L, (1 to 100).map(i => s"tok$i").mkString(" ")),
+      (7L, "MIXED Case TEXT With\tTabs\nand newlines"))
+    val d = texts.toDF("doc_id", "text")
+    val columnar = d
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, t) =>
+      assert(Dedup.simhashKernel(t, md) == columnar(id), s"doc $id: kernel != columnar")
+    }
+    // and the table form end to end
+    val tbl = Dedup.simhashTable(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tbl == columnar)
+  }
+
   test("simhash: near-dups differ in few bits, unrelated in many") {
     val base = (1 to 80).map(i => s"token$i").mkString(" ")
     val nearDup = base.replace("token7", "changedx")
