@@ -10,18 +10,18 @@ package graft.kernel
   * graduates/graduating/graduated→graduat, birthdate→birthdat,
   * almamater→almamat, cityserved→cityserv, location→locat.
   *
-  * PARITY SCOPE: the reference actually uses rust-stemmers
-  * `Algorithm::English` — Snowball/Porter2 — which agrees with classic
-  * Porter on every golden above and on every predicate the pipeline can
-  * emit (the PredDict-canonicalized set, pinned exhaustively by
-  * KernelSpec "porter parity is pinned for every canonical predicate"),
-  * but diverges on some words outside that set (e.g. "ties": Porter
-  * → "ti", Porter2 → "tie"). Parity is therefore guaranteed only for
-  * the dictionary-canonicalized predicate vocabulary, by test.
+  * PARITY: the reference actually uses rust-stemmers
+  * `Algorithm::English` — Snowball/Porter2 — so `stemPredicate` now
+  * stems with kernel.Snowball (full Porter2 incl. exceptional forms),
+  * giving open-vocabulary parity (e.g. "ties" → tie, where classic
+  * Porter gives ti). The two algorithms agree on every golden above and
+  * on the whole PredDict-canonicalized vocabulary (pinned exhaustively
+  * by KernelSpec and by the SnowballSpec agreement test); classic
+  * `stem` is kept as the documented 1980 algorithm and cross-check.
   */
 object Porter {
 
-  def stemPredicate(pred: String): String = stem(pred.toLowerCase)
+  def stemPredicate(pred: String): String = Snowball.stem(pred.toLowerCase)
 
   def stem(word: String): String = {
     if (word.length <= 2) return word
