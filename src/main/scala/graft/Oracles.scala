@@ -264,14 +264,18 @@ object Oracles {
                FROM pc),
         pf AS (SELECT *, CASE WHEN precision + recall = 0 THEN 0.0
                  ELSE 2 * precision * recall / (precision + recall) END AS f1 FROM pm)
-        SELECT CAST(count(*) AS BIGINT) AS n_cases,
+        SELECT *, CASE WHEN avg_f1 >= 0.9::DOUBLE THEN 'excellent'
+                       WHEN avg_f1 >= 0.75::DOUBLE THEN 'good'
+                       WHEN avg_f1 >= 0.6::DOUBLE THEN 'fair'
+                       ELSE 'needs_improvement' END AS quality
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_cases,
           round(avg(precision), 6) AS avg_precision,
           round(avg(recall), 6) AS avg_recall,
           round(avg(f1), 6) AS avg_f1,
           CAST(sum(tp) AS BIGINT) AS total_tp,
           CAST(sum(fp) AS BIGINT) AS total_fp,
           CAST(sum(fn) AS BIGINT) AS total_fn
-        FROM pf"""
+        FROM pf)"""
 
   val kgEntityTable: String =
     s"""SELECT url, name_lc, canonical_name, entity_type, first_chunk_id,
@@ -577,10 +581,22 @@ object Oracles {
                 CAST(sum(CASE WHEN in_pred IS NOT NULL AND in_gold IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
                 CAST(sum(CASE WHEN in_pred IS NULL AND in_gold IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
               FROM j GROUP BY category)
-        SELECT category, n_entries, tp, fp, fn,
+        SELECT *, round(CASE WHEN precision + recall = 0 THEN 0.0::DOUBLE
+            ELSE 2 * precision * recall / (precision + recall) END, 6) AS f1,
+          CASE WHEN round(CASE WHEN precision + recall = 0 THEN 0.0::DOUBLE
+                 ELSE 2 * precision * recall / (precision + recall) END, 6) >= 0.9::DOUBLE
+                 THEN 'excellent'
+               WHEN round(CASE WHEN precision + recall = 0 THEN 0.0::DOUBLE
+                 ELSE 2 * precision * recall / (precision + recall) END, 6) >= 0.75::DOUBLE
+                 THEN 'good'
+               WHEN round(CASE WHEN precision + recall = 0 THEN 0.0::DOUBLE
+                 ELSE 2 * precision * recall / (precision + recall) END, 6) >= 0.6::DOUBLE
+                 THEN 'fair'
+               ELSE 'needs_improvement' END AS quality
+        FROM (SELECT category, n_entries, tp, fp, fn,
           round(CASE WHEN tp + fp = 0 THEN 0.0::DOUBLE ELSE tp / (tp + fp) END, 6) AS precision,
           round(CASE WHEN tp + fn = 0 THEN 0.0::DOUBLE ELSE tp / (tp + fn) END, 6) AS recall
-        FROM c"""
+        FROM c)"""
 
   /** All generated oracles, keyed by query name. */
   val all: Map[String, String] = Map(

@@ -234,7 +234,11 @@ object Relations {
       pos += piece.length + 1 // the '.' separator
       if (piece.trim.nonEmpty) {
         val sentence = piece.trim
-        val sentStart = pieceStart + piece.indexWhere(!_.isWhitespace)
+        // the SAME predicate trim uses (c <= ' '), NOT isWhitespace:
+        // trim also strips control chars  - that isWhitespace
+        // rejects, and mixing the two broke the span invariant on such
+        // input (ADVICE r02)
+        val sentStart = pieceStart + piece.indexWhere(_ > ' ')
         val sentEnd = sentStart + sentence.length
         val forward = paddedPatterns.find { case (vp, _, _) => sentence.contains(vp) }
         forward match {

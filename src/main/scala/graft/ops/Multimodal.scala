@@ -121,6 +121,10 @@ object Multimodal {
     * frames are 0, stride, 2*stride, … < n_frames; ts_ms from fps. */
   def frameSample(decoded: Dataset[DecodedVideo], stride: Int): DataFrame = {
     decoded.toDF
+      // a real decoder can emit n_frames = 0 (corrupt container);
+      // sequence(0, -1, +stride) throws, so zero-frame rows are dropped
+      // rather than detonating the job (ADVICE r02)
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .withColumn("ts_ms", floor(col("frame_idx") * lit(100000L) / col("fps_x100")))

@@ -251,8 +251,15 @@ object Similarity {
     * self-join is quadratic in bucket size, so buckets above bucketCap
     * degrade to star pairing on the min-id member — each member is
     * compared (and thresholded) against the representative only, O(m)
-    * pairs instead of O(m²), keeping a giant near-dup cluster connected
-    * without emitting it pairwise. */
+    * pairs instead of O(m²).
+    *
+    * LOSSINESS CAVEAT (unlike Dedup.lshCandidates, which emits star
+    * pairs unthresholded): because star pairs are cosine-thresholded, a
+    * capped-bucket member below threshold with the representative but
+    * above it with some other member is dropped entirely — a capped
+    * bucket is NOT guaranteed to stay connected through the threshold.
+    * Truncation is observable: count nearDupCappedBuckets next to any
+    * capped run. */
   def nearDupPairs(corpus: DataFrame, dim: Int, nBits: Int, threshold: Double,
       bucketCap: Int = 2000): DataFrame = {
     val spark = corpus.sparkSession
@@ -283,5 +290,21 @@ object Similarity {
       .withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim"))
+  }
+
+  /** The buckets nearDupPairs capped (bucket, bkt_n > cap) — count/log
+    * this next to any capped run so the star-pairing lossiness (see
+    * nearDupPairs caveat) is never silent. */
+  def nearDupCappedBuckets(corpus: DataFrame, dim: Int, nBits: Int,
+      bucketCap: Int = 2000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, emb) => (id, lshBucketKernel(emb, dim, nBits)) })
+      .toDF("vec_id", "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > bucketCap)
   }
 }

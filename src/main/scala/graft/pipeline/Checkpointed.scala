@@ -40,8 +40,8 @@ object Checkpointed {
 
   final case class BucketManifest(pk: Int, nPages: Long, nTriples: Long, runId: Long)
 
-  def doneBuckets(baseDir: String): Set[Int] = {
-    val dir = Paths.get(baseDir, "_done")
+  private def markerBuckets(baseDir: String, sub: String): Set[Int] = {
+    val dir = Paths.get(baseDir, sub)
     if (!Files.exists(dir)) Set.empty
     else {
       val s = Files.list(dir)
@@ -52,6 +52,23 @@ object Checkpointed {
         }.toSet
       finally s.close()
     }
+  }
+
+  def doneBuckets(baseDir: String): Set[Int] = markerBuckets(baseDir, "_done")
+
+  /** Buckets whose GRAPH stage (nodes merge + edges partition) has
+    * committed — markers written only after the edges write, so a crash
+    * between the triple manifest and the graph writes leaves the bucket
+    * visibly pending and the next run rebuilds it (the incremental
+    * analogue of the old full-rebuild self-heal). */
+  def graphDoneBuckets(baseDir: String): Set[Int] = markerBuckets(baseDir, "_done_graph")
+
+  private def commitGraphMarker(baseDir: String, pk: Int, runId: Long): Unit = {
+    val dir = Paths.get(baseDir, "_done_graph")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(s"pk=$pk.json"),
+      s"""{"pk":$pk,"run_id":$runId}""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
   private def commitManifest(baseDir: String, m: BucketManifest): Unit = {
@@ -138,14 +155,20 @@ object Checkpointed {
     import spark.implicits._
     val fresh = runTriples(pages, baseDir, nBuckets, runId)
     val nodesPath = Paths.get(baseDir, "nodes")
-    if (fresh.isEmpty && Files.exists(nodesPath)) return
-    val freshKeys = fresh.map(_.pk)
     val hadGraph = Files.exists(nodesPath)
-    // partition-pruned read: only fresh buckets (everything, when the
+    // graph work set: this run's fresh buckets (whose graph markers, if
+    // any, are stale — the triples were just re-extracted) PLUS every
+    // triple-committed bucket without a graph marker — a crash between
+    // the triple manifest and the graph writes leaves such a bucket, and
+    // the old fresh-only early-return skipped it forever (ADVICE r02)
+    val pending = (fresh.map(_.pk).toSet ++
+      (doneBuckets(baseDir) -- graphDoneBuckets(baseDir))).toSeq.sorted
+    if (pending.isEmpty && hadGraph) return
+    // partition-pruned read: only pending buckets (everything, when the
     // graph tables don't exist yet)
     val tripAll = spark.read.parquet(s"$baseDir/triples")
     val tripIn =
-      if (hadGraph) tripAll.filter(col("pk").isin(freshKeys: _*))
+      if (hadGraph) tripAll.filter(col("pk").isin(pending: _*))
       else tripAll
     val (nodesFresh, edgesFresh) =
       Pipeline.graphFromTriples(tripIn.drop("pk").as[TripleRow], kb)
@@ -169,5 +192,12 @@ object Checkpointed {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     edgesFresh.withColumn("pk", bucketOf(col("url"), nBuckets))
       .write.mode("overwrite").partitionBy("pk").parquet(s"$baseDir/edges")
+
+    // graph markers LAST: a crash anywhere above leaves the bucket
+    // pending and the next run redoes it (nodes re-merge is idempotent —
+    // min_by re-reduction of duplicate rows — and the edges overwrite is
+    // per-partition wholesale)
+    val committed = if (hadGraph) pending else doneBuckets(baseDir).toSeq.sorted
+    committed.foreach(pk => commitGraphMarker(baseDir, pk, runId))
   }
 }

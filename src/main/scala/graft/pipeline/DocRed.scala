@@ -113,6 +113,9 @@ object EvalAgg {
       round(avg(col("f1")), 6).as("avg_f1"),
       sum(col("tp")).as("total_tp"), sum(col("fp")).as("total_fp"),
       sum(col("fn")).as("total_fn"))
+      // reference quality tiers over the aggregate F1
+      // (webnlg_evaluation.rs:310-318)
+      .withColumn("quality", Eval.qualityBand(col("avg_f1")))
     (perCase, agg)
   }
 }

@@ -10,6 +10,15 @@ object Eval {
 
   final case class Prf(tp: Long, fp: Long, fn: Long, precision: Double, recall: Double, f1: Double)
 
+  /** The reference's quality tiers over an F1 score
+    * (examples/webnlg_evaluation.rs:310-318): ≥0.9 excellent, ≥0.75
+    * good, ≥0.6 fair, else needs_improvement. */
+  def qualityBand(f1: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(f1 >= 0.9, "excellent")
+      .when(f1 >= 0.75, "good")
+      .when(f1 >= 0.6, "fair")
+      .otherwise("needs_improvement")
+
   def prf(predicted: DataFrame, gold: Dataset[GoldTriple]): Prf = {
     val p = predicted.select("url", "subj", "pred", "obj").distinct()
     val g = gold.toDF.select("url", "subj", "pred", "obj").distinct()

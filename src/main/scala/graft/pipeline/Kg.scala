@@ -228,7 +228,15 @@ object Kg {
     * extraction emission order (chunk_id, sent_idx); equal-position
     * ties pinned by obj. Returned exploded as (url, subj, pred,
     * last_obj) rows — map_from_entries of these per (url, subj) is the
-    * reference's `properties` map (see propsMap). */
+    * reference's `properties` map (see propsMap).
+    *
+    * DOCUMENTED DEVIATION (ADVICE r02): this runs over the DEDUPED
+    * triple table, and Kg.dedup pins each (url, subj, pred, obj) to its
+    * FIRST occurrence — so a value stated early and re-stated last ranks
+    * by its first statement. The reference buffer sees every restatement
+    * and would rank it last. The two diverge only when the SAME property
+    * VALUE recurs at different positions AND a different value sits
+    * between them — the last-DISTINCT-value winner is identical. */
   def entityProps(triples: DataFrame): DataFrame = {
     triples
       .groupBy(col("url"), col("subj"), col("pred"))

@@ -126,6 +126,34 @@ class CheckpointedSpec extends SparkTestBase {
     assert(table(dirB, "edges") == table(dirA, "edges"))
   }
 
+  test("graph done marker: crash between triple commit and graph writes self-heals") {
+    val dirA = freshDir()
+    val dirB = freshDir()
+    val pages = Corpus.pages(spark, 250, 4)
+    val kb = Corpus.kb(spark, 300)
+    Checkpointed.runAll(pages, kb, dirA, nBuckets = 8, runId = 1) // reference
+    Checkpointed.runAll(pages, kb, dirB, nBuckets = 8, runId = 1)
+    assert(Checkpointed.graphDoneBuckets(dirB) == Checkpointed.doneBuckets(dirB))
+    // simulate the ADVICE crash: a bucket's triple manifest committed
+    // but its graph writes lost — delete the graph marker AND the edge
+    // partition of one bucket (triple manifest intact)
+    val victim = Checkpointed.graphDoneBuckets(dirB).head
+    Files.delete(Paths.get(dirB, "_done_graph", s"pk=$victim.json"))
+    import scala.jdk.CollectionConverters._
+    val edgeDir = Paths.get(dirB, "edges", s"pk=$victim")
+    Files.list(edgeDir).iterator().asScala.toList.foreach(Files.delete)
+    Files.delete(edgeDir)
+    // no new pages: the old code saw fresh.isEmpty && nodes-exists and
+    // returned, leaving the bucket's edges missing forever
+    Checkpointed.runAll(pages, kb, dirB, nBuckets = 8, runId = 2)
+    assert(Checkpointed.graphDoneBuckets(dirB).contains(victim))
+    def table(dir: String, name: String) =
+      spark.read.parquet(s"$dir/$name").drop("pk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(table(dirB, "edges") == table(dirA, "edges"))
+    assert(table(dirB, "nodes") == table(dirA, "nodes"))
+  }
+
   test("runAll produces graph tables partitioned by domain bucket") {
     val dir = freshDir()
     val pages = Corpus.pages(spark, 200, 4)
