@@ -21,7 +21,23 @@ package graft.kernel
   */
 object Porter {
 
-  def stemPredicate(pred: String): String = Snowball.stem(pred.toLowerCase)
+  /** Predicate vocabulary is tiny and Zipfian (a dozen canonical
+    * properties re-stemmed once per extracted triple), so stems are
+    * memoized per JVM; the cap keeps an adversarial open vocabulary
+    * (arbitrary JSON-LD keys at 10^12 docs) from growing the map
+    * unboundedly — misses past the cap just compute. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val memoCap = 1 << 16
+
+  def stemPredicate(pred: String): String = {
+    val hit = memo.get(pred)
+    if (hit != null) hit
+    else {
+      val v = Snowball.stem(pred.toLowerCase)
+      if (memo.size < memoCap) memo.putIfAbsent(pred, v)
+      v
+    }
+  }
 
   def stem(word: String): String = {
     if (word.length <= 2) return word

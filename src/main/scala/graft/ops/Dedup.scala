@@ -166,8 +166,21 @@ object Dedup {
     * lshCappedBuckets to count/log what was capped. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 8,
-      bucketCap: Int = 2000): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, n, k, bands)
+      bucketCap: Int = 2000,
+      bucketsCheckpoint: Option[String] = None): DataFrame = {
+    // The bucket lineage feeds THREE plan branches (counts, small-side,
+    // star-side) and is re-evaluated per branch — cheap by design (the
+    // signature is a one-pass kernel), but when bands×k grow, pass a
+    // checkpoint dir to pay the signature pass exactly once (parquet
+    // boundary; persist() can silently recompute across branches —
+    // CLAUDE.md).
+    val b0 = lshBuckets(df, idCol, textCol, n, k, bands)
+    val b = bucketsCheckpoint match {
+      case Some(dir) =>
+        b0.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      case None => b0
+    }
     val counts = b.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bkt_n"), min(col(idCol)).as("rep"))
     val withC = b.join(counts, Seq("band", "bucket"))

@@ -64,6 +64,17 @@ class OpsSpec extends SparkTestBase {
     assert(full.count() == 28)
   }
 
+  test("lshCandidates with a bucket checkpoint returns identical pairs") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val d = docs(Seq((1L, base), (2L, base.replace("token30", "x30")),
+      (3L, (1 to 60).map(i => s"w$i").mkString(" ")), (4L, base)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshck").toString
+    def pairs(ck: Option[String]) =
+      Dedup.lshCandidates(d, "doc_id", "text", bucketsCheckpoint = ck)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Some(s"$dir/buckets")) == pairs(None))
+  }
+
   test("one-pass simhash kernel == columnar executable spec, bit for bit") {
     import spark.implicits._
     val texts = Seq(
