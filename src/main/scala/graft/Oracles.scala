@@ -90,6 +90,63 @@ object Oracles {
         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
   }
 
+  /** Pairs → clusters: transitive closure over the (re-derived) LSH
+    * candidate pairs via a recursive CTE, min reachable id per vertex —
+    * the independent re-derivation of min-label-propagation connected
+    * components. */
+  val qDedupClusters: String =
+    s"""WITH RECURSIVE
+        pairs AS ($qDedupMinhashLsh),
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY id"""
+
+  val qTextRepetition: String =
+    s"""WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents,
+          string_split(text, ' ') AS toks
+        FROM documents WHERE length(text) > 0),
+        f AS (SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents,
+          round(1.0::DOUBLE - len(list_distinct(sents))::DOUBLE / len(sents), 4)
+            AS dup_sent_frac,
+          len(toks) AS ntoks FROM s),
+        b AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM s WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
+        m AS (SELECT doc_id, max(cnt) AS maxc FROM c GROUP BY doc_id)
+        SELECT f.doc_id, f.n_sents, f.dup_sent_frac,
+          round(coalesce(m.maxc::DOUBLE / (f.ntoks - 1), 0.0::DOUBLE), 4)
+            AS top_bigram_frac
+        FROM f LEFT JOIN m USING (doc_id)"""
+
+  val qLineDedup: String =
+    s"""WITH l AS (SELECT doc_id,
+          unnest(string_split(text, '. ')) AS line,
+          unnest(range(len(string_split(text, '. ')))) AS line_idx
+        FROM documents),
+        n AS (SELECT doc_id, CAST(line_idx AS INT) AS line_idx,
+          lower(trim(line)) AS norm
+        FROM l WHERE length(lower(trim(line))) > 0)
+        SELECT doc_id, line_idx, norm,
+          (row_number() OVER (PARTITION BY norm ORDER BY doc_id, line_idx) = 1)
+            AS keep
+        FROM n"""
+
+  val qPackSequences: String =
+    s"""WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) - n_tokens AS off
+        FROM t)
+        SELECT doc_id, n_tokens, off // 512 AS seq_id, off % 512 AS offset_in_seq
+        FROM c"""
+
   val qKnnLsh: String = {
     val bucket = lshBucketExpr("embedding", 64, 4)
     s"""WITH cb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
@@ -602,6 +659,10 @@ object Oracles {
   val all: Map[String, String] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_clusters" -> qDedupClusters,
+    "q_text_repetition" -> qTextRepetition,
+    "q_line_dedup" -> qLineDedup,
+    "q_pack_sequences" -> qPackSequences,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,
     "q_knn_ivf" -> qKnnIvf,

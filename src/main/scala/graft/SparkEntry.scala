@@ -246,6 +246,25 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       ops.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // near-dup pairs → CLUSTERS: connected components over the LSH
+    // candidate graph (min-id canonical representative per cluster)
+    "q_dedup_clusters" -> ((s, dir) => {
+      ops.Dedup.connectedComponents(
+        ops.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text"))
+    }),
+    // Gopher-style repetition filters (dup-sentence + top-bigram fracs)
+    "q_text_repetition" -> ((s, dir) => {
+      ops.TextAnalysis.repetitionFeatures(
+        t(s, dir, "documents").filter(length(col("text")) > 0), "doc_id", "text")
+    }),
+    // C4-style cross-document line dedup (first occurrence wins)
+    "q_line_dedup" -> ((s, dir) => {
+      ops.TextAnalysis.lineDedup(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    // sequence packing: concat-and-chunk token layout, 512-token budget
+    "q_pack_sequences" -> ((s, dir) => {
+      ops.TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text", budget = 512L)
+    }),
     // SimHash 64-bit signatures — one-pass kernel (equivalence-tested
     // against the columnar spec; hamming property in OpsSpec)
     "q_dedup_simhash" -> ((s, dir) => {

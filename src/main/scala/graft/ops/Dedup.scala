@@ -208,6 +208,48 @@ object Dedup {
       .agg(count(lit(1)).as("bkt_n"))
       .filter(col("bkt_n") > bucketCap)
 
+  /** Connected components over a candidate-pair table (id1, id2) —
+    * the step a real dedup pipeline needs between PAIRS and a keep/drop
+    * decision: each near-dup cluster gets one canonical representative
+    * (its min id). Iterative min-label propagation with a per-iteration
+    * convergence check; LSH clusters are star/band-shaped (tiny
+    * diameter), so rounds ≈ cluster diameter, each round one
+    * fixed-size shuffle keyed by vertex. At extreme diameters switch to
+    * the alternating large-star/small-star recipe (Kiveris et al.,
+    * "Connected Components in MapReduce", 2014) — same join shapes.
+    * Returns (id, cluster) for every vertex that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+      .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each vertex takes min(own label, min neighbor label)
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("n_cluster"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, b: Column, n: Int): Column = {
     val sa = array_distinct(shingles(a, n))

@@ -91,6 +91,102 @@ object TextAnalysis {
       lit(0L), (acc, c) => (acc * rollB + c) % rollP)
   }
 
+  /** Gopher-style repetition features per document (the standard
+    * web-text repetition filters): duplicate-sentence fraction
+    * (1 − distinct/total over ". "-separated sentences) and
+    * top-bigram fraction (occurrences of the most frequent word bigram
+    * / total bigrams). Finding a per-row mode needs a hash map, so this
+    * is a one-pass kernel (the sanctioned mapPartitions carve-out), one
+    * narrow scan, no shuffle; the DuckDB oracle re-derives both via
+    * unnest + group-by. Returns (idCol, n_sents, dup_sent_frac,
+    * top_bigram_frac), fractions rounded to 4. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sentSep = java.util.regex.Pattern.quote(". ")
+    // the same HALF_UP rounding Spark's round() uses (oracle parity)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val sents = text.split(sentSep, -1)
+        val dupFrac = r4(1.0 - sents.distinct.length.toDouble / sents.length)
+        val toks = text.split(" ", -1)
+        val tbf =
+          if (toks.length < 2) 0.0
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            var maxC = 0
+            var i = 0
+            while (i < toks.length - 1) {
+              val bg = toks(i) + " " + toks(i + 1)
+              val c = counts.merge(bg, 1, (a, b) => a + b)
+              if (c > maxC) maxC = c
+              i += 1
+            }
+            r4(maxC.toDouble / (toks.length - 1))
+          }
+        (id, sents.length.toLong, dupFrac, tbf)
+      })
+      .toDF(idCol, "n_sents", "dup_sent_frac", "top_bigram_frac")
+  }
+
+  /** C4-style cross-document line (sentence) dedup: explode every
+    * document into ". "-separated lines, normalize (lower + trim), keep
+    * only the globally FIRST occurrence of each normalized line (by
+    * (doc, position) order). ONE shuffle keyed by the normalized line —
+    * exactly the C4 recipe, and the key space is line-sized, so Zipfian
+    * boilerplate lines land as single hot groups handled by the
+    * window's rank (no quadratic anywhere). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm")).orderBy(col(idCol).asc, col("line_idx").asc)
+    df.select(col(idCol), posexplode(split(col(textCol), "\\. ")).as(Seq("line_idx", "line")))
+      .withColumn("norm", lower(trim(col("line"))))
+      .filter(length(col("norm")) > 0)
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("line_idx"), col("norm"), col("keep"))
+  }
+
+  /** Sequence packing (concat-and-chunk, the LLM-training layout): lay
+    * documents end to end in id order and cut fixed `budget`-token
+    * sequences; each document gets (seq_id, offset_in_seq) of its first
+    * token. Implemented as a SCALABLE two-pass prefix sum — a naive
+    * global-order window collapses to one reducer, so instead: ids are
+    * range-bucketed into `parts` deterministic contiguous spans, pass 1
+    * aggregates per-span token totals (tiny), the driver prefix-scans
+    * them into span base offsets, pass 2 windows WITHIN each span and
+    * adds the broadcast base — both passes fully parallel. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, parts: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val Array(minId, maxId) = toks.agg(min(col("id")), max(col("id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = math.max((maxId - minId) / parts + 1, 1L)
+    val withPart = toks.withColumn("part", ((col("id") - minId) / span).cast("int"))
+    // pass 1: per-span totals (≤ `parts` rows) → driver prefix scan
+    val totals = withPart.groupBy(col("part")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val bases = (0 until parts).map { p =>
+      val b = (p, acc); acc += totals.getOrElse(p, 0L); b
+    }.toDF("part", "base")
+    // pass 2: window inside each span + broadcast base
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    withPart.join(broadcast(bases), Seq("part"))
+      .withColumn("offset", col("base") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        expr(s"offset DIV $budget").as("seq_id"),
+        pmod(col("offset"), lit(budget)).as("offset_in_seq"))
+  }
+
   /** Winnowing-style fingerprint (kernel form): the minimum rolling
     * hash over all k-char windows of the normalized text — robust to
     * local edits outside the minimal window (standard MOSS/winnowing

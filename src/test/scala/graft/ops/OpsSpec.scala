@@ -64,6 +64,55 @@ class OpsSpec extends SparkTestBase {
     assert(full.count() == 28)
   }
 
+  test("connected components: pairs collapse to min-id clusters") {
+    import spark.implicits._
+    // two components: {1,2,3,4} (chain) and {10,11}; 99 isolated (absent)
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("repetition features: dup sentences and hot bigrams surface") {
+    val repeated = "the cat sat. the cat sat. something else here. the cat sat"
+    val clean = "alpha beta gamma delta. epsilon zeta eta theta"
+    val d = docs(Seq((1L, repeated), (2L, clean)))
+    val got = TextAnalysis.repetitionFeatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: 4 sentences, 2 distinct -> dup frac 0.5
+    assert(got(1L)._1 == 4 && got(1L)._2 == 0.5)
+    assert(got(1L)._3 > got(2L)._3, "repeated text must score a hotter top bigram")
+    assert(got(2L)._2 == 0.0)
+  }
+
+  test("line dedup keeps only the globally first occurrence") {
+    val d = docs(Seq(
+      (1L, "shared boilerplate line. unique to one"),
+      (2L, "unique to two. shared boilerplate line")))
+    val got = TextAnalysis.lineDedup(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3)))
+    val shared = got.filter(_._3 == "shared boilerplate line")
+    assert(shared.toSet ==
+      Set((1L, 0, "shared boilerplate line", true), (2L, 1, "shared boilerplate line", false)))
+    assert(got.filter(_._3.startsWith("unique")).forall(_._4))
+  }
+
+  test("sequence packing: two-pass prefix sum equals the naive global cumsum") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, (0 to (i % 7).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(d, "doc_id", "text", budget = 10L, parts = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // naive check
+    var off = 0L
+    (0L until 100L).foreach { i =>
+      val n = (i % 7) + 1
+      assert(got(i) == ((n, off / 10, off % 10)), s"doc $i")
+      off += n
+    }
+  }
+
   test("lshCandidates with a bucket checkpoint returns identical pairs") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val d = docs(Seq((1L, base), (2L, base.replace("token30", "x30")),
