@@ -211,43 +211,76 @@ object Dedup {
   /** Connected components over a candidate-pair table (id1, id2) —
     * the step a real dedup pipeline needs between PAIRS and a keep/drop
     * decision: each near-dup cluster gets one canonical representative
-    * (its min id). Iterative min-label propagation with a per-iteration
-    * convergence check; LSH clusters are star/band-shaped (tiny
-    * diameter), so rounds ≈ cluster diameter, each round one
-    * fixed-size shuffle keyed by vertex. At extreme diameters switch to
-    * the alternating large-star/small-star recipe (Kiveris et al.,
-    * "Connected Components in MapReduce", 2014) — same join shapes.
-    * Returns (id, cluster) for every vertex that appears in a pair. */
+    * (its min id). Returns (id, cluster) for every vertex in a pair.
+    *
+    * SIZE-TIERED like the KB/vocabulary joins: the pair table is
+    * near-dup-sized (orders of magnitude below the corpus), so under
+    * `driverPairLimit` an exact union-find with path compression runs on
+    * the driver in one collect — O(pairs α(pairs)), no per-iteration
+    * Spark job overhead. Above the limit (boilerplate-heavy web crawls)
+    * it falls back to distributed min-label propagation with a
+    * convergence check — rounds ≈ cluster diameter (LSH clusters are
+    * star/band-shaped), each round one vertex-keyed shuffle; the
+    * alternating large-star/small-star recipe (Kiveris et al. 2014) is
+    * the extreme-diameter swap, same join shapes. */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
-      idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
-      .unionByName(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
-      .distinct()
+      idCol2: String = "id2", maxIter: Int = 50,
+      driverPairLimit: Long = 10000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // each vertex takes min(own label, min neighbor label)
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("cluster")).as("n_cluster"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+    val nPairs = p.count()
+    if (nPairs <= driverPairLimit) {
+      // driver tier: exact union-find (path compression + union by min)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var r = parent.getOrDefault(x, x)
+        while (r != x) { x = r; r = parent.getOrDefault(x, x) }
+        // path compression
+        var c = x0
+        while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      val rows = p.collect()
+      rows.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+      }
+      val verts = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      p.unpersist()
+      verts.map(v => (v, find(v))).toSeq.toDF("id", "cluster")
+    } else {
+      val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // each vertex takes min(own label, min neighbor label)
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("cluster")).as("n_cluster"))
+        val next = labels.join(viaNeighbor, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+          .filter(col("cluster") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      edges.unpersist()
+      p.unpersist()
+      labels
     }
-    edges.unpersist()
-    labels
   }
 
   /** Exact n-gram Jaccard similarity between two text columns. */

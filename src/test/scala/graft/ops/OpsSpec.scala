@@ -69,9 +69,14 @@ class OpsSpec extends SparkTestBase {
     // two components: {1,2,3,4} (chain) and {10,11}; 99 isolated (absent)
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L))
       .toDF("id1", "id2")
-    val got = Dedup.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    val driverTier = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(driverTier == expected)
+    // forced distributed tier (min-label propagation) is result-identical
+    val distTier = Dedup.connectedComponents(pairs, driverPairLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distTier == expected)
   }
 
   test("repetition features: dup sentences and hot bigrams surface") {

@@ -180,6 +180,36 @@ class PlanSpec extends SparkTestBase {
     assert(b.count() > 0)
   }
 
+  test("repetitionFeatures: shuffle-free narrow kernel scan") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, s"a b c $i. d e f")).toDF("doc_id", "text")
+    val plan = executedPlan(graft.ops.TextAnalysis.repetitionFeatures(d, "doc_id", "text"))
+    assert(!plan.contains("Exchange"), "repetition features must not shuffle:\n" + plan.take(800))
+  }
+
+  test("lineDedup: exactly one exchange (the line-key window)") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, s"shared line. unique $i")).toDF("doc_id", "text")
+    val df = graft.ops.TextAnalysis.lineDedup(d, "doc_id", "text")
+    df.collect()
+    val plan = executedPlan(df)
+    assert("Exchange".r.findAllIn(plan.replace("BroadcastExchange", "")
+      .replace("AQEShuffleRead", "")).length <= 2, // AQE may split final plan/initial
+      "line dedup should shuffle once on the line key:\n" + plan.take(1200))
+    assert(!plan.contains("SinglePartition"), "no global single-reducer anywhere")
+  }
+
+  test("packSequences: windows are span-partitioned, never a global single partition") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val df = graft.ops.TextAnalysis.packSequences(d, "doc_id", "text", budget = 16L, parts = 8)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("SinglePartition"),
+      "the prefix sum must be span-partitioned, not a global-order window:\n" + plan.take(1200))
+  }
+
   test("salted join variant spreads one hot key across all salts") {
     import spark.implicits._
     // one very hot mention key joined against the KB
