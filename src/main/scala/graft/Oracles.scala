@@ -610,6 +610,81 @@ object Oracles {
               array_to_string(list(e ORDER BY s_rn), ',') || ']}' END AS jsonld
         FROM ent GROUP BY url"""
 
+  /** Shared edge-graph CTEs for the graph-analytics oracles: vocabulary
+    * rollup + linking + md5 mint (as kg_nodes_edges), then the entity
+    * edges with multiplicity (gem — one row per triple) and distinct
+    * (ge). */
+  private val graphEdgeCtes: String =
+    s"""t AS (SELECT * FROM ${inp("triples")}),
+        links AS (SELECT surface, uri FROM ${out("kg_links")}),
+        surfaces AS (SELECT surface, entity_type, slug FROM (
+          SELECT surface, entity_type, slug,
+            row_number() OVER (PARTITION BY surface ORDER BY entity_type, slug) AS rn
+          FROM (SELECT subj_surface AS surface, subj_type AS entity_type, subj AS slug FROM t
+                UNION ALL
+                SELECT obj, obj_type, obj_slug FROM t WHERE obj_is_entity))
+          WHERE rn = 1),
+        si AS (SELECT s.surface,
+                 coalesce(l.uri, 'https://kg.local/e/' || s.slug || '-' ||
+                   substr(md5(s.surface), 1, 8)) AS iri
+               FROM surfaces s LEFT JOIN links l USING (surface)),
+        gem AS (SELECT ss.iri AS src_iri, so.iri AS dst_iri
+                FROM t
+                JOIN si ss ON t.subj_surface = ss.surface
+                JOIN si so ON t.obj = so.surface
+                WHERE t.obj_is_entity),
+        ge AS (SELECT DISTINCT src_iri, dst_iri FROM gem)"""
+
+  val kgDegrees: String =
+    s"""WITH $graphEdgeCtes,
+        o AS (SELECT src_iri AS iri, CAST(count(*) AS BIGINT) AS out_deg
+              FROM gem GROUP BY src_iri),
+        i AS (SELECT dst_iri AS iri, CAST(count(*) AS BIGINT) AS in_deg
+              FROM gem GROUP BY dst_iri)
+        SELECT coalesce(o.iri, i.iri) AS iri,
+          coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg
+        FROM o FULL OUTER JOIN i ON o.iri = i.iri"""
+
+  val kgTwoHop: String =
+    s"""WITH $graphEdgeCtes,
+        seeds AS (SELECT DISTINCT src_iri AS seed FROM ge ORDER BY seed LIMIT 3),
+        h1 AS (SELECT DISTINCT s.seed, e.dst_iri AS iri
+               FROM seeds s JOIN ge e ON s.seed = e.src_iri),
+        h2 AS (SELECT DISTINCT h1.seed, e.dst_iri AS iri
+               FROM h1 JOIN ge e ON h1.iri = e.src_iri)
+        SELECT seed, iri, CAST(min(hop) AS INT) AS hop FROM (
+          SELECT seed, iri, 1 AS hop FROM h1
+          UNION ALL
+          SELECT seed, iri, 2 AS hop FROM h2)
+        GROUP BY seed, iri"""
+
+  /** Fixed-iteration PageRank unrolled: pr_0 = 1/N,
+    * pr_{i+1} = (1-d)/N + d·Σ pr_i(src)/outdeg(src) — the identical
+    * formula the engine evaluates (no dangling redistribution). */
+  val kgPagerank: String = {
+    val iters = 5
+    val chain = (1 to iters).map { i =>
+      s"""p$i AS (SELECT nd.iri,
+            (1.0::DOUBLE - 0.85::DOUBLE) / cnt.n + 0.85::DOUBLE *
+              coalesce(c.contrib, 0.0::DOUBLE) AS pr
+          FROM nd CROSS JOIN cnt
+          LEFT JOIN (SELECT ed.dst_iri AS iri, sum(p.pr / ed.out_deg) AS contrib
+                     FROM ed JOIN p${i - 1} p ON ed.src_iri = p.iri
+                     GROUP BY ed.dst_iri) c ON nd.iri = c.iri)"""
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+        nd AS (SELECT DISTINCT iri FROM (
+          SELECT src_iri AS iri FROM ge UNION ALL SELECT dst_iri FROM ge)),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+        od AS (SELECT src_iri, CAST(count(*) AS BIGINT) AS out_deg
+               FROM ge GROUP BY src_iri),
+        ed AS (SELECT ge.src_iri, ge.dst_iri, od.out_deg
+               FROM ge JOIN od USING (src_iri)),
+        p0 AS (SELECT nd.iri, 1.0::DOUBLE / cnt.n AS pr FROM nd CROSS JOIN cnt),
+        $chain
+        SELECT iri, round(pr, 6) AS pagerank FROM p$iters"""
+  }
+
   /** WebNLG gold denorm re-derived from the dumped entry rows: unnest
     * mtriples, split on " | ", strip literal quotes. */
   val webnlgTriples: String =
@@ -689,6 +764,9 @@ object Oracles {
     "kg_links" -> kgLinks,
     "kg_nodes_edges" -> kgNodesEdges,
     "kg_jsonld_docs" -> kgJsonldDocs,
+    "kg_degrees" -> kgDegrees,
+    "kg_two_hop" -> kgTwoHop,
+    "kg_pagerank" -> kgPagerank,
     "webnlg_triples" -> webnlgTriples,
     "webnlg_eval" -> webnlgEval)
 }

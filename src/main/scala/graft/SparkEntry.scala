@@ -82,6 +82,15 @@ object SparkEntry {
         ops.Similarity.fitCentroids(t(s, dir, "embeddings"), dim = 64, k = 8, iters = 3))
     }
 
+  /** Checkpointed edge table of the corpus graph at this sf (the same
+    * graphFromTriples build kg_nodes_edges runs, written once and
+    * reused by the graph-analytics queries). */
+  def edgesFor(s: SparkSession, dir: String): DataFrame =
+    checkpointed(s, s"edges_${pagesFor(dir)}") {
+      import s.implicits._
+      Pipeline.graphFromTriples(triplesFor(s, dir).as[TripleRow], Corpus.kb(s))._2
+    }
+
   /** Checkpointed (url, warc_ts) of the corpus at this sf. */
   def pagesTsFor(s: SparkSession, dir: String): DataFrame =
     checkpointed(s, s"pages_ts_${pagesFor(dir)}")(
@@ -144,6 +153,21 @@ object SparkEntry {
     "kg_jsonld_docs" -> ((s, dir) => {
       import s.implicits._
       Pipeline.jsonLdDocuments(triplesFor(s, dir).as[TripleRow])
+    }),
+    // graph analytics over the constructed KG: degree centrality
+    "kg_degrees" -> ((s, dir) => {
+      Graph.degrees(edgesFor(s, dir))
+    }),
+    // 2-hop directed neighborhoods of the 3 smallest source IRIs
+    "kg_two_hop" -> ((s, dir) => {
+      val edges = edgesFor(s, dir)
+      val seeds = edges.filter(!col("is_literal"))
+        .select(col("src_iri").as("iri")).distinct().orderBy(col("iri")).limit(3)
+      Graph.twoHopNeighbors(edges, seeds)
+    }),
+    // fixed-iteration PageRank (5 iters, d = 0.85) over entity edges
+    "kg_pagerank" -> ((s, dir) => {
+      Graph.pageRank(edgesFor(s, dir))
     }),
     // A4: latest entity of each type per document (max_by offset)
     "kg_last_entity_of_type" -> ((s, dir) => {

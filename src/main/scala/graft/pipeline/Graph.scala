@@ -14,6 +14,74 @@ object Graph {
   private def mintIri(slugCol: org.apache.spark.sql.Column, surfaceCol: org.apache.spark.sql.Column) =
     concat(lit("https://kg.local/e/"), slugCol, lit("-"), substring(md5(surfaceCol), 1, 8))
 
+  /** Degree centrality over the edge table: per-node in/out ENTITY-edge
+    * counts (literal edges excluded; multiplicity kept — one count per
+    * edge row). Two hash aggregations + a node-keyed outer join — every
+    * shape vocabulary-or-edge-sized. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val e = edges.filter(!col("is_literal"))
+    val out = e.groupBy(col("src_iri").as("iri")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst_iri").as("iri")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("iri"), "full_outer")
+      .select(col("iri"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Two-hop directed neighborhoods of the seed IRIs over the DISTINCT
+    * entity-edge graph: (seed, iri, hop) with hop = min(1, 2). Two
+    * equi-joins — the standard k-hop expansion; seeds are few, so the
+    * frontier side stays tiny and broadcastable by AQE. */
+  def twoHopNeighbors(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = edges.filter(!col("is_literal"))
+      .select(col("src_iri"), col("dst_iri")).distinct()
+    val h1 = seeds.select(col("iri").as("seed"))
+      .join(e, col("seed") === col("src_iri"))
+      .select(col("seed"), col("dst_iri").as("iri")).distinct()
+      .withColumn("hop", lit(1))
+    val h2 = h1.select(col("seed"), col("iri").as("src_iri"))
+      .join(e, Seq("src_iri"))
+      .select(col("seed"), col("dst_iri").as("iri")).distinct()
+      .withColumn("hop", lit(2))
+    h1.unionByName(h2).groupBy(col("seed"), col("iri"))
+      .agg(min(col("hop")).as("hop"))
+  }
+
+  /** Fixed-iteration PageRank over the DISTINCT entity-edge graph
+    * (damping d, no dangling redistribution — mass from sink nodes
+    * decays, the common simplified variant; both the engine and the
+    * DuckDB oracle implement exactly this formula):
+    *   pr_0 = 1/N;  pr_{i+1}(v) = (1-d)/N + d·Σ_{u→v} pr_i(u)/outdeg(u)
+    *
+    * FIXED iterations mean NO action per iteration: the whole recursion
+    * is one lazy plan (iters chained shuffle stages in a single job) —
+    * the per-iteration-job-overhead trap (see connectedComponents) never
+    * fires. The edge+degree table and node list are persisted since the
+    * plan references them once per iteration. Returns (iri, pagerank)
+    * rounded to 6. */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.filter(!col("is_literal"))
+      .select(col("src_iri"), col("dst_iri")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src_iri").as("iri"))
+      .unionByName(e.select(col("dst_iri").as("iri"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src_iri")).agg(count(lit(1)).as("out_deg"))
+    val eDeg = e.join(outDeg, Seq("src_iri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    var pr = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
+    for (_ <- 0 until iters) {
+      val contribs = eDeg.join(pr.withColumnRenamed("iri", "src_iri"), Seq("src_iri"))
+        .groupBy(col("dst_iri").as("iri"))
+        .agg(sum(col("pr") / col("out_deg")).as("contrib"))
+      pr = nodes.join(contribs, Seq("iri"), "left")
+        .select(col("iri"),
+          ((lit(1.0) - lit(damping)) / lit(n.toDouble) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("iri"), round(col("pr"), 6).as("pagerank"))
+  }
+
   /** Enriched triples (from Linking.enrich) → (nodes, edges). */
   def materialize(enriched: DataFrame): (DataFrame, DataFrame) = {
     val withIris = enriched

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics operators over the constructed KG edge table. */
+class GraphOpsSpec extends SparkTestBase {
+
+  private def edges(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    rows.toDF("src_iri", "dst_iri").withColumn("is_literal", lit(false))
+  }
+
+  test("degrees: per-node in/out entity-edge counts, multiplicity kept") {
+    val e = edges(Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c")))
+    val got = Graph.degrees(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((3L, 0L)), "b" -> ((1L, 2L)), "c" -> ((0L, 2L))))
+  }
+
+  test("two-hop neighborhoods: min hop per (seed, node)") {
+    import spark.implicits._
+    val e = edges(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+    val seeds = Seq("a").toDF("iri")
+    val got = Graph.twoHopNeighbors(e, seeds).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    // c is reachable at hop 1 (a->c) AND hop 2 (a->b->c): min = 1
+    assert(got == Map(("a", "b") -> 1, ("a", "c") -> 1, ("a", "d") -> 2))
+  }
+
+  test("pageRank: sink-heavy node ranks highest; deterministic re-run") {
+    // star into "hub": everyone links to hub, hub links to one spoke
+    val e = edges(Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")))
+    val pr = Graph.pageRank(e).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub") > pr("s1") && pr("s1") > pr("s2"))
+    assert(pr("s2") == pr("s3")) // symmetric spokes tie exactly
+    assert(pr.values.forall(v => v > 0 && v < 1))
+    val again = Graph.pageRank(e).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == pr)
+  }
+}
