@@ -658,6 +658,23 @@ object Oracles {
           SELECT seed, iri, 2 AS hop FROM h2)
         GROUP BY seed, iri"""
 
+  /** BGP oracle: the two-pattern conjunction as an explicit self-join of
+    * the re-derived distinct (s, p, o) view (object = entity IRI or
+    * literal verbatim). */
+  val kgBgp: String = {
+    val worksfor = Porter.stemPredicate("worksFor")
+    val birthplace = Porter.stemPredicate("birthPlace")
+    s"""WITH $graphEdgeCtes,
+        spo AS (SELECT DISTINCT ss.iri AS s, t.pred AS p,
+            CASE WHEN t.obj_is_entity THEN so.iri ELSE t.obj END AS o
+          FROM t
+          JOIN si ss ON t.subj_surface = ss.surface
+          LEFT JOIN si so ON t.obj = so.surface)
+        SELECT DISTINCT a.s AS person, a.o AS org, b.o AS city
+        FROM spo a JOIN spo b ON a.s = b.s
+        WHERE a.p = '$worksfor' AND b.p = '$birthplace'"""
+  }
+
   /** Fixed-iteration PageRank unrolled: pr_0 = 1/N,
     * pr_{i+1} = (1-d)/N + d·Σ pr_i(src)/outdeg(src) — the identical
     * formula the engine evaluates (no dangling redistribution). */
@@ -767,6 +784,7 @@ object Oracles {
     "kg_degrees" -> kgDegrees,
     "kg_two_hop" -> kgTwoHop,
     "kg_pagerank" -> kgPagerank,
+    "kg_bgp" -> kgBgp,
     "webnlg_triples" -> webnlgTriples,
     "webnlg_eval" -> webnlgEval)
 }

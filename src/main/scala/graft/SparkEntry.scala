@@ -169,6 +169,14 @@ object SparkEntry {
     "kg_pagerank" -> ((s, dir) => {
       Graph.pageRank(edgesFor(s, dir))
     }),
+    // SPARQL-style BGP: who works where and was born where (two
+    // patterns conjoined on ?person; DataFrame joins, Catalyst plans)
+    "kg_bgp" -> ((s, dir) => {
+      import graft.kernel.Porter
+      Graph.bgp(edgesFor(s, dir), Seq(
+        ("?person", Porter.stemPredicate("worksFor"), "?org"),
+        ("?person", Porter.stemPredicate("birthPlace"), "?city")))
+    }),
     // A4: latest entity of each type per document (max_by offset)
     "kg_last_entity_of_type" -> ((s, dir) => {
       import s.implicits._

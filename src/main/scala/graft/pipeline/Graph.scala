@@ -82,6 +82,42 @@ object Graph {
     pr.select(col("iri"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** SPARQL-style basic graph pattern (BGP) over the edge table — the
+    * query surface a user of an RDF engine runs daily (the reference
+    * delegates SPARQL to its Oxigraph store; here a BGP compiles to
+    * DataFrame joins and Catalyst plans them). Each pattern is
+    * (s, p, o); a term starting with "?" is a variable, anything else a
+    * constant. Object position matches entity IRIs and literals alike
+    * (coalesce(dst_iri, obj_literal)). Patterns join on their shared
+    * variables (conjunction), disjoint patterns cross-join. Variable
+    * names must be distinct within a pattern. Output: one column per
+    * variable, distinct rows.
+    *
+    * Scale shape: each pattern is a constant-filtered scan of the
+    * distinct (s,p,o) view; conjunctions are equi-joins on variable
+    * columns — Catalyst picks broadcast vs shuffle per side, AQE
+    * handles skewed join vars. */
+  def bgp(edges: DataFrame, patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    val spo = edges.select(col("src_iri").as("s"), col("pred").as("p"),
+      coalesce(col("dst_iri"), col("obj_literal")).as("o")).distinct()
+    def isVar(t: String) = t.startsWith("?")
+    val frames = patterns.map { case (s, p, o) =>
+      val terms = Seq(s -> "s", p -> "p", o -> "o")
+      val vars = terms.collect { case (t, c) if isVar(t) => (t.drop(1), c) }
+      require(vars.map(_._1).distinct.size == vars.size,
+        s"repeated variable within one pattern: ($s, $p, $o)")
+      val filtered = terms.foldLeft(spo) { case (df, (t, c)) =>
+        if (isVar(t)) df else df.filter(col(c) === t)
+      }
+      filtered.select(vars.map { case (v, c) => col(c).as(v) }: _*)
+    }
+    frames.reduce { (a, b) =>
+      val common = a.columns.intersect(b.columns).toSeq
+      if (common.nonEmpty) a.join(b, common) else a.crossJoin(b)
+    }.distinct()
+  }
+
   /** Enriched triples (from Linking.enrich) → (nodes, edges). */
   def materialize(enriched: DataFrame): (DataFrame, DataFrame) = {
     val withIris = enriched

@@ -28,6 +28,31 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == Map(("a", "b") -> 1, ("a", "c") -> 1, ("a", "d") -> 2))
   }
 
+  test("bgp: constants filter, shared variables join, literals match in object position") {
+    import spark.implicits._
+    val e = Seq(
+      ("alice", "worksfor", "acme", null.asInstanceOf[String], false),
+      ("alice", "birthplac", "lyon", null.asInstanceOf[String], false),
+      ("bob", "worksfor", "acme", null.asInstanceOf[String], false),
+      ("alice", "birthdat", null.asInstanceOf[String], "1990-01-02", true))
+      .toDF("src_iri", "pred", "dst_iri", "obj_literal", "is_literal")
+    // conjunction on ?p: only alice has both patterns
+    val got = Graph.bgp(e, Seq(("?p", "worksfor", "?org"), ("?p", "birthplac", "?city")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("alice", "acme", "lyon")))
+    // literal object position is queryable
+    val lit = Graph.bgp(e, Seq(("alice", "birthdat", "?d")))
+      .collect().map(_.getString(0)).toSet
+    assert(lit == Set("1990-01-02"))
+    // constant object filters
+    val who = Graph.bgp(e, Seq(("?p", "worksfor", "acme")))
+      .collect().map(_.getString(0)).toSet
+    assert(who == Set("alice", "bob"))
+    intercept[IllegalArgumentException] {
+      Graph.bgp(e, Seq(("?x", "worksfor", "?x")))
+    }
+  }
+
   test("pageRank: sink-heavy node ranks highest; deterministic re-run") {
     // star into "hub": everyone links to hub, hub links to one spoke
     val e = edges(Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")))
