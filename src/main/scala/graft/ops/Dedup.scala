@@ -225,14 +225,16 @@ object Dedup {
     * the extreme-diameter swap, same join shapes. */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 50,
-      driverPairLimit: Long = 10000000L): DataFrame = {
+      driverPairLimit: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = p.count()
     if (nPairs <= driverPairLimit) {
-      // driver tier: exact union-find (path compression + union by min)
+      // driver tier: exact union-find (path compression + union by min).
+      // Collected as primitive tuples, not Rows, and parallelized back
+      // out via createDataset (never a giant LocalRelation in the plan).
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -243,14 +245,14 @@ object Dedup {
         while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
         r
       }
-      val rows = p.collect()
-      rows.foreach { r =>
-        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      val rows = p.as[(Long, Long)].collect()
+      p.unpersist()
+      rows.foreach { case (s, d) =>
+        val (a, b) = (find(s), find(d))
         if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
       }
-      val verts = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-      p.unpersist()
-      verts.map(v => (v, find(v))).toSeq.toDF("id", "cluster")
+      val verts = rows.flatMap { case (s, d) => Array(s, d) }.distinct
+      spark.createDataset(verts.map(v => (v, find(v))).toSeq).toDF("id", "cluster")
     } else {
       val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -277,9 +279,20 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      // a non-converged result has INCONSISTENT labels (members of one
+      // component reporting different clusters) — fail loudly, never
+      // return silently-wrong data (no-silent-caps rule)
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(component diameter exceeds maxIter) — raise maxIter or " +
+            "switch to the large-star/small-star variant")
+      // materialize the result and release every cached input
+      val out = labels.localCheckpoint(true)
+      labels.unpersist()
       edges.unpersist()
       p.unpersist()
-      labels
+      out
     }
   }
 

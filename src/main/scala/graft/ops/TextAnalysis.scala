@@ -168,7 +168,11 @@ object TextAnalysis {
     val Array(minId, maxId) = toks.agg(min(col("id")), max(col("id")))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
     val span = math.max((maxId - minId) / parts + 1, 1L)
-    val withPart = toks.withColumn("part", ((col("id") - minId) / span).cast("int"))
+    // integral DIV, not double division: for ids near maxId in a huge id
+    // range (>= 2^53) the double ratio can round UP to exactly `parts`,
+    // and the bases inner join would silently drop those documents
+    val withPart = toks.withColumn("part",
+      expr(s"CAST((id - ${minId}L) DIV ${span}L AS INT)"))
     // pass 1: per-span totals (≤ `parts` rows) → driver prefix scan
     val totals = withPart.groupBy(col("part")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -63,11 +63,25 @@ object Checkpointed {
     * analogue of the old full-rebuild self-heal). */
   def graphDoneBuckets(baseDir: String): Set[Int] = markerBuckets(baseDir, "_done_graph")
 
-  private def commitGraphMarker(baseDir: String, pk: Int, runId: Long): Unit = {
+  private val runIdRe = """"run_id"\s*:\s*(-?\d+)""".r
+
+  /** pk → run_id parsed from the pk=N.json markers of `sub`. */
+  private def markerRunIds(baseDir: String, sub: String): Map[Int, Long] =
+    markerBuckets(baseDir, sub).flatMap { pk =>
+      val f = Paths.get(baseDir, sub, s"pk=$pk.json")
+      val txt = new String(Files.readAllBytes(f), "UTF-8")
+      runIdRe.findFirstMatchIn(txt).map(m => pk -> m.group(1).toLong)
+    }.toMap
+
+  /** The graph marker records the run_id of the bucket's TRIPLE manifest
+    * it was built from — a graph commit is valid only while those two
+    * ids match, so a bucket whose triples were re-extracted (new _done
+    * run_id) is pending again even though an old graph marker exists. */
+  private def commitGraphMarker(baseDir: String, pk: Int, tripleRunId: Long): Unit = {
     val dir = Paths.get(baseDir, "_done_graph")
     Files.createDirectories(dir)
     Files.write(dir.resolve(s"pk=$pk.json"),
-      s"""{"pk":$pk,"run_id":$runId}""".getBytes("UTF-8"),
+      s"""{"pk":$pk,"run_id":$tripleRunId}""".getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
@@ -156,13 +170,18 @@ object Checkpointed {
     val fresh = runTriples(pages, baseDir, nBuckets, runId)
     val nodesPath = Paths.get(baseDir, "nodes")
     val hadGraph = Files.exists(nodesPath)
-    // graph work set: this run's fresh buckets (whose graph markers, if
-    // any, are stale — the triples were just re-extracted) PLUS every
-    // triple-committed bucket without a graph marker — a crash between
-    // the triple manifest and the graph writes leaves such a bucket, and
-    // the old fresh-only early-return skipped it forever (ADVICE r02)
+    // graph work set: every triple-committed bucket whose graph marker
+    // is missing OR carries a different run_id than its triple manifest
+    // — covers this run's fresh buckets, crash windows between the
+    // triple commit and the graph writes (ADVICE r02), AND buckets an
+    // operator invalidated and re-extracted in an earlier run that then
+    // crashed before the graph commit (a bare marker-presence check
+    // would trust the stale marker forever — review finding r03)
+    val tripleRuns = markerRunIds(baseDir, "_done")
+    val graphRuns = markerRunIds(baseDir, "_done_graph")
     val pending = (fresh.map(_.pk).toSet ++
-      (doneBuckets(baseDir) -- graphDoneBuckets(baseDir))).toSeq.sorted
+      tripleRuns.collect { case (pk, r) if !graphRuns.get(pk).contains(r) => pk })
+      .toSeq.sorted
     if (pending.isEmpty && hadGraph) return
     // partition-pruned read: only pending buckets (everything, when the
     // graph tables don't exist yet)
@@ -188,16 +207,30 @@ object Checkpointed {
     nodesMerged.write.mode("overwrite").parquet(tmpNodes)
     spark.read.parquet(tmpNodes).write.mode("overwrite").parquet(s"$baseDir/nodes")
 
-    // edges: dynamic overwrite replaces ONLY the fresh pk partitions
+    // edges: dynamic overwrite replaces ONLY the fresh pk partitions.
+    // Pre-delete the pending buckets' partitions first: dynamic
+    // overwrite cannot clear a rebuilt bucket that now yields ZERO edge
+    // rows, which would otherwise freeze stale edges in place behind a
+    // fresh graph marker (review finding r03).
+    if (hadGraph) pending.foreach { pk =>
+      val d = Paths.get(baseDir, "edges", s"pk=$pk")
+      if (Files.exists(d)) {
+        val s = Files.list(d)
+        try s.iterator().asScala.toList.foreach(Files.delete) finally s.close()
+        Files.delete(d)
+      }
+    }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     edgesFresh.withColumn("pk", bucketOf(col("url"), nBuckets))
       .write.mode("overwrite").partitionBy("pk").parquet(s"$baseDir/edges")
 
-    // graph markers LAST: a crash anywhere above leaves the bucket
-    // pending and the next run redoes it (nodes re-merge is idempotent —
-    // min_by re-reduction of duplicate rows — and the edges overwrite is
+    // graph markers LAST, each stamped with its bucket's TRIPLE-manifest
+    // run_id: a crash anywhere above leaves the bucket pending and the
+    // next run redoes it (nodes re-merge is idempotent — min_by
+    // re-reduction of duplicate rows — and the edges rebuild is
     // per-partition wholesale)
-    val committed = if (hadGraph) pending else doneBuckets(baseDir).toSeq.sorted
-    committed.foreach(pk => commitGraphMarker(baseDir, pk, runId))
+    val committed = if (hadGraph) pending else tripleRuns.keys.toSeq.sorted
+    committed.foreach(pk =>
+      commitGraphMarker(baseDir, pk, tripleRuns.getOrElse(pk, runId)))
   }
 }

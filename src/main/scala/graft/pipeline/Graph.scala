@@ -79,7 +79,13 @@ object Graph {
           ((lit(1.0) - lit(damping)) / lit(n.toDouble) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("pr"))
     }
-    pr.select(col("iri"), round(col("pr"), 6).as("pagerank"))
+    // materialize (eager localCheckpoint) so every cached input can be
+    // released — otherwise each call leaks three persisted tables for
+    // the JVM lifetime (review finding r03)
+    val out = pr.select(col("iri"), round(col("pr"), 6).as("pagerank"))
+      .localCheckpoint(true)
+    eDeg.unpersist(); nodes.unpersist(); e.unpersist()
+    out
   }
 
   /** SPARQL-style basic graph pattern (BGP) over the edge table — the

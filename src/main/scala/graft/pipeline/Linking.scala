@@ -34,6 +34,26 @@ object Linking {
   val fuzzyThreshold = 0.8 // entity_linker.rs config default
   val confidenceThreshold = 0.5 // entity_linker.rs:64 EntityLinker default
 
+  /** KB row count under which linking broadcasts the KB — the single
+    * source of truth (Pipeline forwards it). */
+  val defaultBroadcastKbLimit = 5000000L
+
+  /** Salt count for the large-KB blocked fuzzy join. */
+  val fuzzyBlockSalts = 16
+
+  /** The large-KB blocked fuzzy join shape, shared by linkFuzzy, link
+    * and Pipeline.linkSurfaces: the KB side (column `label_lc`, with a
+    * `block` key) is SPLIT across salts by label hash; the mention side
+    * (with the same `block` key) is replicated per salt — replicate the
+    * small side, split the big side, so a Zipfian-hot block never lands
+    * on one reducer. */
+  private[pipeline] def saltedBlockJoin(m: DataFrame, k: DataFrame,
+      salts: Int = fuzzyBlockSalts): DataFrame = {
+    val ks = k.withColumn("salt", pmod(hash(col("label_lc")), lit(salts)).cast("int"))
+    val ms = m.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    ms.join(ks, Seq("block", "salt")).drop("salt")
+  }
+
   // native codegen Expression, not a UDF — stays inside whole-stage
   // codegen at the fuzzy-join scoring step
   private def jw(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -94,21 +114,13 @@ object Linking {
       .withColumn("block", split(col("label_lc"), " ").getItem(0))
     val cands0 =
       if (broadcastKb) m.join(broadcast(k), "block")
-      else {
-        val ks = k.withColumn("salt", pmod(hash(col("label_lc")), lit(salts)).cast("int"))
-        val ms = m.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-        ms.join(ks, Seq("block", "salt")).drop("salt")
-      }
+      else saltedBlockJoin(m, k, salts)
     val cands = cands0
       .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
       .filter(col("confidence") >= fuzzyThreshold)
       .select(col("url"), col("surface"), col("uri"), col("confidence"))
     top1(cands)
   }
-
-  /** KB row count under which `link` broadcasts the KB (mirrors
-    * Pipeline.defaultBroadcastKbLimit). */
-  val defaultBroadcastKbLimit = 5000000L
 
   /** Exact-first, fuzzy-fallback linking (the reference tries exact then
     * fuzzy per its use_fuzzy_matching config; we take exact wins and only
@@ -129,11 +141,7 @@ object Linking {
       val m = misses.withColumn("block", split(col("surface_lc"), " ").getItem(0))
       val cands0 =
         if (useBroadcast) m.join(broadcast(k), "block")
-        else {
-          val ks = k.withColumn("salt", pmod(hash(col("label_lc")), lit(16)).cast("int"))
-          val ms = m.withColumn("salt", explode(sequence(lit(0), lit(15))))
-          ms.join(ks, Seq("block", "salt")).drop("salt")
-        }
+        else saltedBlockJoin(m, k)
       val cands = cands0
         .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
         .filter(col("confidence") >= fuzzyThreshold)

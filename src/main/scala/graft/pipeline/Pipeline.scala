@@ -35,12 +35,13 @@ object Pipeline {
     * token-blocked fuzzy join (blocks are Zipfian — "the", common first
     * names — so the KB side is SPLIT by label hash and the
     * vocabulary-sized miss side replicated per salt). ~5M short label
-    * rows ≈ hundreds of MB — tune per executor memory. */
-  val defaultBroadcastKbLimit = 5000000L
+    * rows ≈ hundreds of MB — tune per executor memory. Single source of
+    * truth lives in Linking (forwarded here for callers). */
+  val defaultBroadcastKbLimit: Long = Linking.defaultBroadcastKbLimit
 
   /** Salt count for the large-KB fuzzy blocked join (spreads one hot
     * block's KB labels over this many shuffle keys). */
-  val fuzzyBlockSalts = 16
+  val fuzzyBlockSalts: Int = Linking.fuzzyBlockSalts
 
   /** Link a distinct-surface DataFrame (column `surface`) against the KB:
     * exact (0.95) else blocked fuzzy JW (≥0.8), threshold 0.5, top-1 per
@@ -72,12 +73,7 @@ object Pipeline {
     val kbBlocked = kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))
     val fuzzyCands =
       if (useBroadcast) misses.join(broadcast(kbBlocked), "block")
-      else {
-        val nSalt = lit(fuzzyBlockSalts)
-        val k = kbBlocked.withColumn("salt", pmod(hash(col("label_lc")), nSalt).cast("int"))
-        val m = misses.withColumn("salt", explode(sequence(lit(0), nSalt - 1)))
-        m.join(k, Seq("block", "salt")).drop("salt")
-      }
+      else Linking.saltedBlockJoin(misses, kbBlocked)
     val fuzzy = fuzzyCands
       .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
       .filter(col("confidence") >= Linking.fuzzyThreshold &&

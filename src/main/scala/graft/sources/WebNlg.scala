@@ -105,16 +105,20 @@ object WebNlg {
       if (!path.contains("*")) Seq(path)
       else {
         val p = java.nio.file.Paths.get(path)
-        val dir = p.getParent
+        val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
         val matcher = java.nio.file.FileSystems.getDefault
           .getPathMatcher("glob:" + p.getFileName.toString)
-        val found = java.nio.file.Files.list(dir).iterator()
-        val out = Vector.newBuilder[String]
-        while (found.hasNext) {
-          val f = found.next()
-          if (matcher.matches(f.getFileName)) out += f.toString
-        }
-        val r = out.result().sorted
+        val stream = java.nio.file.Files.list(dir)
+        val r =
+          try {
+            val found = stream.iterator()
+            val out = Vector.newBuilder[String]
+            while (found.hasNext) {
+              val f = found.next()
+              if (matcher.matches(f.getFileName)) out += f.toString
+            }
+            out.result().sorted
+          } finally stream.close()
         require(r.nonEmpty, s"no files match $path")
         r
       }

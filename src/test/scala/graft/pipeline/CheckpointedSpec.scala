@@ -154,6 +154,39 @@ class CheckpointedSpec extends SparkTestBase {
     assert(table(dirB, "nodes") == table(dirA, "nodes"))
   }
 
+  test("stale graph marker (run_id mismatch) is detected and the bucket rebuilt") {
+    import scala.jdk.CollectionConverters._
+    val dirA = freshDir()
+    val dirB = freshDir()
+    val pages = Corpus.pages(spark, 200, 4)
+    val kb = Corpus.kb(spark, 300)
+    Checkpointed.runAll(pages, kb, dirA, nBuckets = 8, runId = 1)
+    Checkpointed.runAll(pages, kb, dirB, nBuckets = 8, runId = 1)
+    val victim = Checkpointed.graphDoneBuckets(dirB).head
+    // simulate: the bucket's triples were re-extracted by run 2 (its
+    // _done manifest now carries run_id 2) but the process crashed
+    // before the graph commit — the old run-1 graph marker survives
+    val mf = Paths.get(dirB, "_done", s"pk=$victim.json")
+    val txt = new String(Files.readAllBytes(mf), "UTF-8")
+      .replace("\"run_id\":1", "\"run_id\":2")
+    Files.write(mf, txt.getBytes("UTF-8"))
+    val edgeDir = Paths.get(dirB, "edges", s"pk=$victim")
+    Files.list(edgeDir).iterator().asScala.toList.foreach(Files.delete)
+    Files.delete(edgeDir)
+    // marker-presence alone would skip the bucket forever; the run_id
+    // comparison must flag it pending
+    Checkpointed.runAll(pages, kb, dirB, nBuckets = 8, runId = 3)
+    assert(Files.exists(edgeDir), "stale bucket was not rebuilt")
+    val gm = new String(Files.readAllBytes(
+      Paths.get(dirB, "_done_graph", s"pk=$victim.json")), "UTF-8")
+    assert(gm.contains("\"run_id\":2"), s"marker should record the manifest run_id: $gm")
+    def table(dir: String, name: String) =
+      spark.read.parquet(s"$dir/$name").drop("pk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(table(dirB, "edges") == table(dirA, "edges"))
+    assert(table(dirB, "nodes") == table(dirA, "nodes"))
+  }
+
   test("runAll produces graph tables partitioned by domain bucket") {
     val dir = freshDir()
     val pages = Corpus.pages(spark, 200, 4)
