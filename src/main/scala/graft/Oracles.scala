@@ -198,6 +198,41 @@ object Oracles {
           FROM s) WHERE rank <= 5"""
   }
 
+  /** Int8 quantization re-derived: identical scale (127/max|v|, 0-vector
+    * guard), per-component round, fingerprint + L1 over the quantized
+    * list (scalars — the driver compare cannot hash array columns). */
+  val qQuantizeInt8: String =
+    s"""WITH m AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS max_abs
+        FROM embeddings),
+        s AS (SELECT vec_id, embedding,
+          CASE WHEN max_abs = 0 THEN 0.0::DOUBLE
+               ELSE 127.0::DOUBLE / max_abs END AS qscale
+        FROM m),
+        q AS (SELECT vec_id, qscale,
+          list_transform(embedding,
+            v -> CAST(round(v::DOUBLE * qscale, 0) AS INT)) AS qvec
+        FROM s)
+        SELECT vec_id, qscale,
+          md5(array_to_string(qvec, ',')) AS qvec_fp,
+          CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1
+        FROM q"""
+
+  val qTfidf: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+        tkf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tk WHERE length(token) > 0 GROUP BY doc_id, token),
+        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tkf GROUP BY token)
+        SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INT) AS rank FROM (
+          SELECT t.doc_id, t.token, t.tf, q.df,
+            round(t.tf * ln(cnt.n / q.df), 4) AS tfidf,
+            row_number() OVER (PARTITION BY t.doc_id
+              ORDER BY round(t.tf * ln(cnt.n / q.df), 4) DESC, t.token ASC) AS rank
+          FROM tkf t JOIN dfq q USING (token) CROSS JOIN cnt)
+        WHERE rank <= 5"""
+
   /** Trained-IVF oracle: assignment, probe list and ranking re-derived
     * from the DUMPED codebook doubles. The dot product is a left fold in
     * index order seeded with 0.0 (list_reduce over list_prepend), the
@@ -755,6 +790,8 @@ object Oracles {
     "q_text_repetition" -> qTextRepetition,
     "q_line_dedup" -> qLineDedup,
     "q_pack_sequences" -> qPackSequences,
+    "q_quantize_int8" -> qQuantizeInt8,
+    "q_tfidf" -> qTfidf,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,
     "q_knn_ivf" -> qKnnIvf,

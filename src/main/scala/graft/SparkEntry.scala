@@ -323,6 +323,19 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) => {
       ops.Similarity.nearDupPairs(t(s, dir, "embeddings"), dim = 64, nBits = 8, threshold = 0.2)
     }),
+    // int8 scalar quantization of embeddings (ANN memory lever); the
+    // qvec rides as a scalar md5 fingerprint + L1 norm because the
+    // driver compare cannot hash array columns
+    "q_quantize_int8" -> ((s, dir) => {
+      val q = ops.Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      q.select(col("vec_id"), col("qscale"),
+        md5(concat_ws(",", transform(col("qvec"), _.cast("string")))).as("qvec_fp"),
+        aggregate(col("qvec"), lit(0L), (acc, v) => acc + abs(v)).as("q_l1"))
+    }),
+    // per-document top-5 TF-IDF keywords
+    "q_tfidf" -> ((s, dir) => {
+      ops.TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", 5)
+    }),
     // brute-force cosine top-k (ANN correctness baseline)
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -165,6 +165,23 @@ object Similarity {
     cents
   }
 
+  /** Int8 scalar quantization of an embedding column — the standard
+    * memory lever before ANN at 10^9+ vectors (4 bytes → 1 byte per
+    * dim): per-vector scale = 127/max|v| (0 for the zero vector), each
+    * component rounded to [-127, 127]. Pure column expressions, scan
+    * speed. Returns (idCol, qscale, qvec ARRAY<INT>). */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(embCol), v => abs(v.cast("double"))))
+    val scale = when(col("max_abs") === 0.0, lit(0.0))
+      .otherwise(lit(127.0) / col("max_abs"))
+    df.select(col(idCol), col(embCol))
+      .withColumn("max_abs", maxAbs)
+      .withColumn("qscale", scale)
+      .withColumn("qvec",
+        transform(col(embCol), v => round(v.cast("double") * col("qscale")).cast("int")))
+      .select(col(idCol), col("qscale"), col("qvec"))
+  }
+
   /** Persist shape for a fitted codebook: one row per centroid,
     * (centroid INT, cvec ARRAY<DOUBLE>) — tiny (k×dim doubles), written
     * as parquet next to the index so the query side and any oracle load

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a training-data pipeline, all pure Column
   * expressions (codegen'd, no UDFs) so they run at scan speed and push
@@ -89,6 +90,29 @@ object TextAnalysis {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     aggregate(transform(split(norm, ""), c => ascii(c).cast("long")),
       lit(0L), (acc, c) => (acc * rollB + c) % rollP)
+  }
+
+  /** Per-document top-k keywords by TF-IDF: tf = in-doc term count,
+    * df = documents containing the term, idf = ln(N/df), ranked
+    * (tfidf desc, token asc) per document. Shapes: explode + two hash
+    * aggregations + a token-keyed join + per-doc window — all keyed by
+    * token or document, no global step. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val docs = df.filter(length(col(textCol)) > 0)
+    val nDocs = docs.count()
+    val toks = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
   /** Gopher-style repetition features per document (the standard

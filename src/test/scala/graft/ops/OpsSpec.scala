@@ -64,6 +64,34 @@ class OpsSpec extends SparkTestBase {
     assert(full.count() == 28)
   }
 
+  test("int8 quantization: max component hits ±127, zero vector guarded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2).toVector)).toMap
+    assert(got(1L)._2 == Vector(64, -127, 32)) // 0.5*127, -1*127, 0.25*127 rounded
+    assert(got(1L)._1 == 127.0)
+    assert(got(2L) == ((0.0, Vector(0, 0, 0))))
+  }
+
+  test("tf-idf top-k: corpus-wide terms score zero, rare terms rank first") {
+    val d = docs(Seq(
+      (1L, "apple banana banana shared"),
+      (2L, "cherry shared"),
+      (3L, "durian shared")))
+    val got = TextAnalysis.tfidfTopK(d, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getDouble(4))).toMap
+    // doc 1: banana tf=2 df=1 -> 2*ln(3); apple tf=1 df=1 -> ln(3); shared df=3 -> 0
+    assert(got((1L, 1))._1 == "banana")
+    assert(got((1L, 2))._1 == "apple")
+    assert(math.abs(got((1L, 1))._2 - 2 * math.log(3.0)) < 1e-3)
+    assert(got((2L, 1))._1 == "cherry" && got((3L, 1))._1 == "durian")
+    // 'shared' appears in every doc -> idf 0 -> never outranks a real keyword
+    assert(got((2L, 2))._1 == "shared" && got((2L, 2))._2 == 0.0)
+  }
+
   test("connected components: pairs collapse to min-id clusters") {
     import spark.implicits._
     // two components: {1,2,3,4} (chain) and {10,11}; 99 isolated (absent)
