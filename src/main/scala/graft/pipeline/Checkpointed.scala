@@ -206,6 +206,14 @@ object Checkpointed {
     val tmpNodes = s"$baseDir/_nodes_next"
     nodesMerged.write.mode("overwrite").parquet(tmpNodes)
     spark.read.parquet(tmpNodes).write.mode("overwrite").parquet(s"$baseDir/nodes")
+    // drop the staging dir (left in place it triggers spurious
+    // "All paths were ignored" warnings on later reads of baseDir)
+    val tmpPath = Paths.get(tmpNodes)
+    if (Files.exists(tmpPath)) {
+      val s0 = Files.list(tmpPath)
+      try s0.iterator().asScala.toList.foreach(Files.delete) finally s0.close()
+      Files.delete(tmpPath)
+    }
 
     // edges: dynamic overwrite replaces ONLY the fresh pk partitions.
     // Pre-delete the pending buckets' partitions first: dynamic
