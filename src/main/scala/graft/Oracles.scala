@@ -70,13 +70,15 @@ object Oracles {
         SELECT doc_id, ($bits) AS simhash FROM v"""
   }
 
-  val qDedupMinhashLsh: String = {
+  /** MinHash band-bucket CTEs (signature + banding re-derived), shared
+    * by the pair, cluster and index-probe oracles. */
+  private val minhashBandCtes: String = {
     val sig = (0 until 32).map { i =>
       val a = 2L * i + 1L
       val b = 1000003L * (i + 1)
       s"list_min(list_transform(hl, h -> (h*$a + $b) % $minhashP))"
     }.mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
           string_split(regexp_replace(lower(text),'\\s+',' ','g'),' ') AS toks FROM documents),
         sh AS (SELECT doc_id, list_transform(range(0, greatest(len(toks)-3,0)+1),
           i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) AS shingles FROM d),
@@ -85,10 +87,22 @@ object Oracles {
         sg AS (SELECT doc_id, $sig AS sig FROM hs),
         bb AS (SELECT doc_id, unnest(range(0, 8)) AS band,
           unnest(list_transform(range(0, 8),
-            b -> md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')))) AS bucket FROM sg)
+            b -> md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')))) AS bucket FROM sg)"""
+  }
+
+  val qDedupMinhashLsh: String =
+    s"""WITH $minhashBandCtes
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
-  }
+
+  /** Incremental-index probe oracle: the cross pairs an even-doc index
+    * probed with the odd-doc batch must report = even×odd bucket
+    * collisions over the SAME signatures. */
+  val qDedupIndexProbe: String =
+    s"""WITH $minhashBandCtes
+        SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"""
 
   /** Pairs → clusters: transitive closure over the (re-derived) LSH
     * candidate pairs via a recursive CTE, min reachable id per vertex —
@@ -787,6 +801,7 @@ object Oracles {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_index_probe" -> qDedupIndexProbe,
     "q_text_repetition" -> qTextRepetition,
     "q_line_dedup" -> qLineDedup,
     "q_pack_sequences" -> qPackSequences,

@@ -297,6 +297,18 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) => {
       ops.TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text", budget = 512L)
     }),
+    // incremental LSH dedup index: index the even docs, probe with the
+    // odd docs — cross-corpus candidate pairs WITHOUT re-signing the
+    // indexed side (the production recrawl-dedup shape)
+    "q_dedup_index_probe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_lshidx").toString + "/idx"
+      ops.Dedup.lshIndexWrite(d.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+      val (cross, _) = ops.Dedup.lshIndexProbe(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", idxDir)
+      cross
+    }),
     // SimHash 64-bit signatures — one-pass kernel (equivalence-tested
     // against the columnar spec; hamming property in OpsSpec)
     "q_dedup_simhash" -> ((s, dir) => {

@@ -197,6 +197,51 @@ object Dedup {
     allPairs.unionByName(starPairs).distinct()
   }
 
+  // ---- incremental LSH index (the production dedup-service shape) ----
+  // At 10^12 docs you never re-sign the corpus per batch: the band
+  // buckets are a PERSISTED parquet table partitioned by band; each new
+  // batch signs only its own documents, probes the index with a
+  // band-keyed join, and appends its buckets. Old signatures are never
+  // recomputed; the probe shuffles only the (tiny) batch side plus the
+  // matching index partitions.
+
+  /** Write the LSH bucket index for a corpus (overwrite). Partitioned
+    * by band so a probe prunes to the band files it touches. */
+  def lshIndexWrite(df: DataFrame, idCol: String, textCol: String, dir: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8): Unit =
+    lshBuckets(df, idCol, textCol, n, k, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+
+  /** Probe the index with a NEW batch: near-dup candidate pairs
+    * (index_id, new_id) between the existing corpus and the batch, plus
+    * intra-batch pairs (id1 < id2) — exactly the pairs lshCandidates
+    * over (corpus ∪ batch) would emit that involve a batch doc. The
+    * batch's own buckets are returned for the append step. */
+  def lshIndexProbe(newDocs: DataFrame, idCol: String, textCol: String, dir: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8): (DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
+    val fresh = lshBuckets(newDocs, idCol, textCol, n, k, bands)
+    val idx = spark.read.parquet(dir)
+    val cross = idx.select(col("band"), col("bucket"), col(idCol).as("index_id"))
+      .join(fresh.select(col("band"), col("bucket"), col(idCol).as("new_id")),
+        Seq("band", "bucket"))
+      .filter(col("index_id") =!= col("new_id"))
+      .select(col("index_id"), col("new_id")).distinct()
+    val intra = fresh.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(fresh.select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    (cross, intra)
+  }
+
+  /** Append a probed batch's buckets to the index (per-band dynamic
+    * partition append — old band files untouched). */
+  def lshIndexAppend(newDocs: DataFrame, idCol: String, textCol: String, dir: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8): Unit =
+    lshBuckets(newDocs, idCol, textCol, n, k, bands)
+      .write.mode("append").partitionBy("band").parquet(dir)
+
   /** The buckets lshCandidates capped (band, bucket, bkt_n > cap) —
     * count/log this next to any capped run so truncation is never
     * silent. */

@@ -114,6 +114,19 @@ object StreamIngest {
       .start()
   }
 
+  /** Streaming CONTENT dedup: pages deduplicated across micro-batches
+    * by the md5 fingerprint of their normalized text, NOT the url — a
+    * recrawl republished under a DIFFERENT url is still dropped (the
+    * url-keyed dedup above cannot catch that). First-arriving batch
+    * wins; keyed state is bounded by the watermark. Returns
+    * (url, warc_ts, fp) of the surviving pages. */
+  def dedupedPagesByContent(pagesStream: Dataset[Page], delay: String): DataFrame =
+    pagesStream.toDF
+      .select(col("url"), col("warc_ts"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withWatermark("warc_ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class DomainStats(domain: String, n_triples: Long, n_batches: Long)
 
   /** Custom keyed streaming state (flatMapGroupsWithState): cumulative

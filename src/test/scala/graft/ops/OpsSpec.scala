@@ -64,6 +64,29 @@ class OpsSpec extends SparkTestBase {
     assert(full.count() == 28)
   }
 
+  test("incremental LSH index: probe finds cross-corpus dups; append extends it") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val other = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpusA = docs(Seq((1L, base), (2L, other)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString + "/idx"
+    Dedup.lshIndexWrite(corpusA, "doc_id", "text", dir)
+    // batch B: a near-dup of doc 1, a fresh doc, and an intra-batch dup
+    val nearDup = base.replace("token30", "x30")
+    val batchB = docs(Seq((10L, nearDup), (11L, "completely new words here"), (12L, nearDup)))
+    val (cross, intra) = Dedup.lshIndexProbe(batchB, "doc_id", "text", dir)
+    val c = cross.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c.contains((1L, 10L)) && c.contains((1L, 12L)), c.toString)
+    assert(!c.exists(_._1 == 2L), "unrelated corpus doc matched")
+    val i = intra.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(i == Set((10L, 12L)))
+    Dedup.lshIndexAppend(batchB, "doc_id", "text", dir)
+    // batch C duplicates a batch-B doc: found only because of the append
+    val (cross2, _) = Dedup.lshIndexProbe(
+      docs(Seq((20L, "completely new words here"))), "doc_id", "text", dir)
+    val c2 = cross2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c2.contains((11L, 20L)), c2.toString)
+  }
+
   test("int8 quantization: max component hits ±127, zero vector guarded") {
     import spark.implicits._
     val d = Seq(

@@ -61,6 +61,37 @@ class StreamIngestSpec extends SparkTestBase {
     assert(expected.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming content dedup: same text under a NEW url is dropped") {
+    import spark.implicits._
+    import graft.pipeline.Page
+    val work = Files.createTempDirectory("graft_cdedup").toString
+    val pages = Corpus.pages(spark, 60, 2)
+    pages.write.mode("overwrite").parquet(s"$work/pages")
+    // recrawl batch: IDENTICAL text republished under new urls — the
+    // url-keyed dedup would keep these; content dedup must drop them
+    pages.map(p => p.copy(url = p.url + "?recrawl"))
+      .coalesce(1).write.mode("append").parquet(s"$work/pages")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Page]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$work/pages").as[Page]
+    val q = StreamIngest.dedupedPagesByContent(stream, "20000 hours").writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(s"$work/out")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$work/out")
+    val expectedDistinct = pages.toDF
+      .select(graft.ops.TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(out.count() == expectedDistinct)
+    assert(out.filter(col("url").endsWith("?recrawl")).count() == 0,
+      "a recrawled-under-new-url page survived content dedup")
+  }
+
   test("flatMapGroupsWithState domain stats accumulate across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
