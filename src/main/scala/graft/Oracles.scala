@@ -138,6 +138,40 @@ object Oracles {
             AS top_bigram_frac
         FROM f LEFT JOIN m USING (doc_id)"""
 
+  /** Composite quality gate: the quality-feature and repetition
+    * derivations combined, rules applied to the ROUNDED features
+    * exactly as the engine does (concat_ws skips NULL, so untriggered
+    * rules vanish — identical semantics). */
+  val qQualityFilter: String =
+    s"""WITH qf AS (SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                / length(text), 4) AS punct_ratio,
+          round((
+            (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ' '))) / 4
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ' '))) / 2
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ' '))) / 3
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ' '))) / 4
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' in ', ' '))) / 3
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ' '))) / 3
+          + (length(' '||text||' ') - length(replace(' '||text||' ', ' is ', ' '))) / 3
+          ) * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+          round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS mean_word_len
+        FROM documents WHERE length(text) > 0),
+        rep AS (SELECT doc_id, dup_sent_frac, top_bigram_frac FROM ($qTextRepetition)),
+        j AS (SELECT qf.*, rep.dup_sent_frac, rep.top_bigram_frac
+              FROM qf JOIN rep USING (doc_id)),
+        r AS (SELECT doc_id, concat_ws(',',
+            CASE WHEN n_tokens < 20 THEN 'too_short' END,
+            CASE WHEN mean_word_len < 2.0::DOUBLE OR mean_word_len > 12.0::DOUBLE
+                 THEN 'word_len' END,
+            CASE WHEN punct_ratio > 0.2::DOUBLE THEN 'punct' END,
+            CASE WHEN stopword_ratio < 0.001::DOUBLE THEN 'no_stopwords' END,
+            CASE WHEN dup_sent_frac > 0.3::DOUBLE THEN 'repetitive_sents' END,
+            CASE WHEN top_bigram_frac > 0.2::DOUBLE THEN 'repetitive_bigrams' END)
+          AS reasons FROM j)
+        SELECT doc_id, (reasons = '') AS keep, reasons FROM r"""
+
   val qLineDedup: String =
     s"""WITH l AS (SELECT doc_id,
           unnest(string_split(text, '. ')) AS line,
@@ -807,6 +841,7 @@ object Oracles {
     "q_pack_sequences" -> qPackSequences,
     "q_quantize_int8" -> qQuantizeInt8,
     "q_tfidf" -> qTfidf,
+    "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,
     "q_knn_ivf" -> qKnnIvf,

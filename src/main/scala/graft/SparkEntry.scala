@@ -348,6 +348,10 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => {
       ops.TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", 5)
     }),
+    // C4/Gopher-style composite quality gate: keep/drop + reasons
+    "q_quality_filter" -> ((s, dir) => {
+      ops.TextAnalysis.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+    }),
     // brute-force cosine top-k (ANN correctness baseline)
     "q_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

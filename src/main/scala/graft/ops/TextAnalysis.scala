@@ -92,6 +92,33 @@ object TextAnalysis {
       lit(0L), (acc, c) => (acc * rollB + c) % rollP)
   }
 
+  /** Composite quality-filter decision (the C4/Gopher-style corpus
+    * gate): combines the scalar quality features with the repetition
+    * features into keep/drop plus a comma-joined reason list
+    * (concat_ws skips the NULL sides of untriggered rules — identical
+    * semantics in DuckDB, and no array column for the driver compare).
+    * Thresholds are the standard web-text heuristics. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withText = df.filter(length(col(textCol)) > 0)
+    val qf = qualityFeatures(withText, col(textCol))
+      .select(col(idCol), col("n_tokens"), col("punct_ratio"),
+        col("stopword_ratio"), col("mean_word_len"))
+    val rep = repetitionFeatures(withText, idCol, textCol)
+      .select(col(idCol), col("dup_sent_frac"), col("top_bigram_frac"))
+    val joined = qf.join(rep, Seq(idCol))
+    val reasons = concat_ws(",",
+      when(col("n_tokens") < 20, lit("too_short")),
+      when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0, lit("word_len")),
+      when(col("punct_ratio") > 0.2, lit("punct")),
+      when(col("stopword_ratio") < 0.001, lit("no_stopwords")),
+      when(col("dup_sent_frac") > 0.3, lit("repetitive_sents")),
+      when(col("top_bigram_frac") > 0.2, lit("repetitive_bigrams")))
+    joined
+      .withColumn("reasons", reasons)
+      .withColumn("keep", col("reasons") === "")
+      .select(col(idCol), col("keep"), col("reasons"))
+  }
+
   /** Per-document top-k keywords by TF-IDF: tf = in-doc term count,
     * df = documents containing the term, idf = ln(N/df), ranked
     * (tfidf desc, token asc) per document. Shapes: explode + two hash

@@ -99,6 +99,19 @@ class OpsSpec extends SparkTestBase {
     assert(got(2L) == ((0.0, Vector(0, 0, 0))))
   }
 
+  test("quality filter: clean text keeps, degenerate text drops with reasons") {
+    val clean = "the quick brown fox jumps over the lazy dog and then runs " +
+      "into the forest to find a quiet place of rest and calm in the evening"
+    val repetitive = (1 to 30).map(_ => "buy now").mkString(" ")
+    val short = "tiny text"
+    val d = docs(Seq((1L, clean), (2L, repetitive), (3L, short)))
+    val got = TextAnalysis.qualityFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(got(1L) == ((true, "")))
+    assert(!got(2L)._1 && got(2L)._2.contains("repetitive_bigrams"), got(2L).toString)
+    assert(!got(3L)._1 && got(3L)._2.contains("too_short"))
+  }
+
   test("tf-idf top-k: corpus-wide terms score zero, rare terms rank first") {
     val d = docs(Seq(
       (1L, "apple banana banana shared"),
