@@ -428,6 +428,17 @@ object SparkEntry {
         ops.Multimodal.decode(ops.Multimodal.images(s, imagesFor(dir))), 256)
         .select("img_id", "width", "height", "channels", "out_width", "out_height", "label")
     }),
+    // as-of (backward) join: each purchase attributed to the user's
+    // latest click at or before it — the operator Spark lacks natively,
+    // composed as tagged union + one ordered window (one shuffle)
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts", "event_id", Seq("value"))
+    }),
     // S3: semi-structured JSON column ingest + aggregation
     "q_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -598,6 +609,15 @@ object SparkEntry {
                 ELSE 'de' END AS pred_lang,
            greatest(en, es, de, fr) AS lang_score
          FROM s""",
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+         SELECT l.event_id, l.user_id, l.ts,
+           x.asof_value, x.asof_event_id, x.asof_ts
+         FROM l LEFT JOIN LATERAL (
+           SELECT r.value AS asof_value, r.event_id AS asof_event_id, r.ts AS asof_ts
+           FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) x ON TRUE""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,

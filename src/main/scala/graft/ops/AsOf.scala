@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (backward) join — an operator core Spark lacks natively: for
+  * every left row, attach the single LATEST right row with
+  * right.ts <= left.ts within the same key (event attribution, price
+  * lookup, slowly-changing joins).
+  *
+  * Composed from built-ins per the custom-operator preference order:
+  * tag both sides, union, and run ONE ordered window per key taking
+  * `last(value, ignoreNulls)` over the running frame — exactly one
+  * shuffle keyed by `keyCol`, never the quadratic range cross-join the
+  * naive `left.join(right, r.ts <= l.ts)` plans. Right rows sort BEFORE
+  * left rows at equal ts (inclusive <=); right-row ties at one ts
+  * resolve deterministically to the largest `rightOrdCol`.
+  *
+  * Caveat: a NULL in a right value column is skipped by ignoreNulls
+  * (treated as missing), so attribution columns can come from different
+  * right rows when right values contain nulls.
+  *
+  * Output: every left column, plus `asof_<c>` for each requested right
+  * column (plus the right ord and ts), NULL when no right row precedes. */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      rightOrdCol: String, rightValCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rVals = (rightValCols :+ rightOrdCol :+ tsCol).distinct
+    val lSel = lCols.map(col) ++
+      Seq(lit(1).as("__side"), lit(null).cast("long").as("__ord")) ++
+      rVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+    val rSel = lCols.map { c =>
+      if (c == keyCol || c == tsCol) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)
+    } ++
+      Seq(lit(0).as("__side"), col(rightOrdCol).cast("long").as("__ord")) ++
+      rVals.map(c => col(c).as(s"__r_$c"))
+    val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rVals.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(lCols.map(col) ++ rVals.map(c => col(s"asof_$c")): _*)
+  }
+}

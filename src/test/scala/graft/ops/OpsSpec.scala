@@ -99,6 +99,26 @@ class OpsSpec extends SparkTestBase {
     assert(got(2L) == ((0.0, Vector(0, 0, 0))))
   }
 
+  test("as-of join: latest right row at or before each left ts, per key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(20)), (102L, 2L, ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(9), 50L, 1.0), (1L, ts(10), 51L, 2.0), // tie at left ts(10): inclusive
+      (1L, ts(10), 52L, 3.0), // same-ts tie -> largest ord (52) wins
+      (1L, ts(15), 53L, 4.0), // latest before ts(20)
+      (3L, ts(1), 60L, 9.0)) // other key, never matched
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = AsOf.asofJoin(left, right, "user_id", "ts", "event_id", Seq("value"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(100L) == ((Some(52L), Some(3.0)))) // inclusive + ord tie-break
+    assert(got(101L) == ((Some(53L), Some(4.0))))
+    assert(got(102L) == ((None, None))) // no prior right row for user 2
+  }
+
   test("quality filter: clean text keeps, degenerate text drops with reasons") {
     val clean = "the quick brown fox jumps over the lazy dog and then runs " +
       "into the forest to find a quiet place of rest and calm in the evening"
