@@ -439,6 +439,12 @@ object SparkEntry {
         .select("user_id", "ts", "event_id", "value")
       ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts", "event_id", Seq("value"))
     }),
+    // range join: same-user event pairs within 5 minutes (bucketized
+    // equi-join, never an inequality cross-join)
+    "q_range_join" -> ((s, dir) => {
+      ops.AsOf.temporalNeighbors(t(s, dir, "events"),
+        "user_id", "event_id", "ts", windowSec = 300L)
+    }),
     // S3: semi-structured JSON column ingest + aggregation
     "q_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -618,6 +624,12 @@ object SparkEntry {
            SELECT r.value AS asof_value, r.event_id AS asof_event_id, r.ts AS asof_ts
            FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) x ON TRUE""",
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+         SELECT a.event_id AS id1, b.event_id AS id2, b.sec - a.sec AS dt_sec
+         FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+         WHERE abs(a.sec - b.sec) <= 300""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,

@@ -48,4 +48,28 @@ object AsOf {
     filled.filter(col("__side") === 1)
       .select(lCols.map(col) ++ rVals.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Range (interval) join, the other operator Spark lacks natively:
+    * all pairs of rows with the same key whose timestamps lie within
+    * `windowSec` of each other. Bucketized equi-join — rows land in
+    * floor(sec/window) buckets, one side probes its three neighboring
+    * buckets, and the exact |dt| <= window filter runs after the
+    * equi-join — so the plan is a hash join on (key, bucket), NEVER the
+    * quadratic inequality cross-join Catalyst would otherwise plan. A
+    * pair matches through exactly one probe offset, so no dedup pass is
+    * needed. Returns (id1 < id2, dt_sec = sec2 - sec1). */
+  def temporalNeighbors(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, windowSec: Long): DataFrame = {
+    val e = df.select(col(keyCol), col(idCol),
+        unix_timestamp(col(tsCol)).as("sec"))
+      .withColumn("bkt", floor(col("sec") / windowSec))
+    val a = e.select(col(keyCol), col(idCol).as("id1"),
+      col("sec").as("sec1"), col("bkt"))
+    val b = e.select(col(keyCol), col(idCol).as("id2"), col("sec").as("sec2"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    a.join(b, Seq(keyCol, "bkt"))
+      .filter(col("id1") < col("id2") &&
+        abs(col("sec1") - col("sec2")) <= windowSec)
+      .select(col("id1"), col("id2"), (col("sec2") - col("sec1")).as("dt_sec"))
+  }
 }

@@ -119,6 +119,21 @@ class OpsSpec extends SparkTestBase {
     assert(got(102L) == ((None, None))) // no prior right row for user 2
   }
 
+  test("range join: same-key pairs within the window, including cross-bucket") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val e = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(299)),  // same user, 299 s apart: in
+      (3L, 1L, ts(601)),                    // 302 s after id 2: out
+      (4L, 2L, ts(10)),                     // other user: never pairs
+      (5L, 1L, ts(600)))                    // 301 s after id 2: out; 1 s before id 3: in
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOf.temporalNeighbors(e, "user_id", "event_id", "ts", 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 299L, (3L, 5L) -> -1L), got.toString)
+  }
+
   test("quality filter: clean text keeps, degenerate text drops with reasons") {
     val clean = "the quick brown fox jumps over the lazy dog and then runs " +
       "into the forest to find a quiet place of rest and calm in the evening"
