@@ -210,6 +210,29 @@ class PlanSpec extends SparkTestBase {
       "the prefix sum must be span-partitioned, not a global-order window:\n" + plan.take(1200))
   }
 
+  test("as-of and range joins: hash joins / one window, never a cross-join") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val n = 500
+    val ev = (0 until n).map(i =>
+      (i.toLong, (i % 17).toLong, new Timestamp(1700000000000L + i * 7000L), i * 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val rj = graft.ops.AsOf.temporalNeighbors(ev, "user_id", "event_id", "ts", 300L)
+    rj.collect()
+    val rjPlan = executedPlan(rj)
+    assert(!rjPlan.contains("CartesianProduct") && !rjPlan.contains("BroadcastNestedLoopJoin"),
+      "range join must stay an equi-join:\n" + rjPlan.take(1000))
+    val aj = graft.ops.AsOf.asofJoin(
+      ev.select("event_id", "user_id", "ts"),
+      ev.select("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", Seq("value"))
+    aj.collect()
+    val ajPlan = executedPlan(aj)
+    assert(!ajPlan.contains("CartesianProduct") && !ajPlan.contains("BroadcastNestedLoopJoin"),
+      "as-of join must not cross-join:\n" + ajPlan.take(1000))
+    assert(ajPlan.contains("Window"), "as-of join is one ordered window")
+  }
+
   test("salted join variant spreads one hot key across all salts") {
     import spark.implicits._
     // one very hot mention key joined against the KB
