@@ -348,6 +348,24 @@ object Oracles {
                 unnest(range(0, CAST(floor((n_samples - 1) / (sample_rate * 5)) AS BIGINT) + 1)) AS seg_idx
               FROM ${inp("audio_meta")})"""
 
+  /** REAL-decode BMP oracle: dimensions and channel means re-derived
+    * from the generator's pixel formula over the dumped id list — the
+    * Spark side gets them by PARSING the encoded bytes, so this checks
+    * the decode itself. */
+  val qMultimodalBmp: String =
+    s"""WITH imgs AS (SELECT img_id, 4 + img_id % 5 AS w, 3 + img_id % 4 AS h
+          FROM ${inp("bmp_ids")}),
+        p AS (SELECT img_id, w, h, ux.x AS x, uy.y AS y
+              FROM imgs, unnest(range(w)) AS ux(x), unnest(range(h)) AS uy(y)),
+        m AS (SELECT img_id, w, h,
+          avg(CAST((x*7 + y*13 + img_id) % 256 AS DOUBLE)) AS mr,
+          avg(CAST((x*3 + y*5 + 2*img_id) % 256 AS DOUBLE)) AS mg,
+          avg(CAST((x*11 + y + 3*img_id) % 256 AS DOUBLE)) AS mb
+        FROM p GROUP BY img_id, w, h)
+        SELECT img_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
+        FROM m"""
+
   /** Token counts + rolling polynomial fingerprint, all recomputed
     * exactly (unicode fold seeded by a prepended 0 == Spark's
     * aggregate initial accumulator). */
@@ -850,6 +868,7 @@ object Oracles {
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_segments" -> qMultimodalSegments,
+    "q_multimodal_bmp" -> qMultimodalBmp,
     "q_text_tokens" -> qTextTokens,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,

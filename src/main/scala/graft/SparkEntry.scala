@@ -422,6 +422,13 @@ object SparkEntry {
       ops.Multimodal.segment(
         ops.Multimodal.decodeAudio(ops.Multimodal.audios(s, imagesFor(dir) / 5)), 5)
     }),
+    // multimodal with a REAL decoder: uncompressed 24-bit BMPs decoded
+    // pixel-for-pixel (pure JVM); the oracle re-derives dimensions and
+    // channel means from the generator formula, so header parse, row
+    // order, BGR order and padding are all under oracle
+    "q_multimodal_bmp" -> ((s, dir) => {
+      ops.Multimodal.bmpChannelMeans(ops.Multimodal.bmpImages(s, imagesFor(dir) / 5))
+    }),
     // multimodal: stubbed decode → resize metadata (real Spark plumbing)
     "q_multimodal_resize" -> ((s, dir) => {
       ops.Multimodal.resizeMeta(

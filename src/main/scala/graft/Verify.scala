@@ -86,6 +86,10 @@ object Verify {
       ops.Multimodal.videos(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "videos_meta")
     w(ops.Multimodal.decodeAudio(
       ops.Multimodal.audios(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "audio_meta")
+    // BMP corpus ids only — the oracle re-derives w/h and pixel means
+    // from the id formula, independently of the encoded bytes
+    w(ops.Multimodal.bmpImages(spark, SparkEntry.imagesFor(sfDir) / 5)
+      .select("img_id"), "bmp_ids")
     // trained IVF codebook: the same memoized fit q_knn_ivf_trained
     // uses, persisted so the oracle re-derives from identical doubles
     w(ops.Similarity.centroidsToDF(spark,

@@ -27,6 +27,115 @@ object Multimodal {
     header.array() ++ payload
   }
 
+  // ---- REAL decode path: uncompressed 24-bit BMP (pure JVM) ----
+  // The BMP container needs no codec library, so this path decodes REAL
+  // pixel data end to end — the declared stub seam now carries one fully
+  // real format (compressed codecs remain the seam). The pixel formula
+  // is re-derivable in SQL, so the oracle checks the DECODE itself: the
+  // query's dimensions and channel means come from parsing the bytes,
+  // the oracle's from the generator formula — they agree only if the
+  // header parse, bottom-up row order, BGR order and padding are right.
+
+  /** Encode a 24-bit bottom-up BMP (rows padded to 4 bytes). */
+  def encodeBmp(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(fileSize); b.putInt(0); b.putInt(54)
+    b.putInt(40); b.putInt(width); b.putInt(height)
+    b.putShort(1); b.putShort(24)
+    b.putInt(0); b.putInt(dataSize)
+    b.putInt(2835); b.putInt(2835); b.putInt(0); b.putInt(0)
+    var y = height - 1 // bottom-up storage
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, bl) = rgb(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Decoded BMP: top-down row-major packed 0xRRGGBB pixels. */
+  final case class BmpPixels(width: Int, height: Int, pixels: Array[Int])
+
+  /** REAL decode of an uncompressed 24-bit BMP. */
+  def decodeBmp(bytes: Array[Byte]): BmpPixels = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 'B'.toByte && b.get() == 'M'.toByte, "not a BMP")
+    b.position(10); val dataOffset = b.getInt()
+    b.position(18); val width = b.getInt(); val height = b.getInt()
+    b.position(28); val bpp = b.getShort()
+    require(bpp == 24, s"unsupported bpp $bpp")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = dataOffset + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val i = srcRow + x * 3
+        val bl = bytes(i) & 0xff
+        val g = bytes(i + 1) & 0xff
+        val r = bytes(i + 2) & 0xff
+        px(y * width + x) = (r << 16) | (g << 8) | bl
+        x += 1
+      }
+      y += 1
+    }
+    BmpPixels(width, height, px)
+  }
+
+  /** Deterministic BMP corpus: image id has w = 4 + id%5, h = 3 + id%4
+    * and pixel (x, y) = (r, g, b) =
+    * ((x·7 + y·13 + id) % 256, (x·3 + y·5 + 2id) % 256,
+    *  (x·11 + y + 3id) % 256) — the formula the oracle re-derives. */
+  def bmpImages(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val bytes = encodeBmp(w, h, (x, y) => (
+        ((x * 7 + y * 13 + id) % 256).toInt,
+        ((x * 3 + y * 5 + 2 * id) % 256).toInt,
+        ((x * 11 + y + 3 * id) % 256).toInt))
+      (id, bytes)
+    }.toDF("img_id", "bmp")
+  }
+
+  /** REAL decode → per-channel means: dimensions and means computed
+    * from the PARSED pixels (one narrow mapPartitions pass). */
+  def bmpChannelMeans(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.select(col("img_id").cast("long"), col("bmp"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = decodeBmp(bytes)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var i = 0
+        while (i < d.pixels.length) {
+          val p = d.pixels(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        val n = d.pixels.length.toDouble
+        (id, d.width, d.height, r4(sr / n), r4(sg / n), r4(sb / n))
+      })
+      .toDF("img_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
   final case class ImageRow(img_id: Long, image: Array[Byte], label: String)
   final case class DecodedImage(img_id: Long, width: Int, height: Int,
       channels: Int, n_bytes: Int, label: String)

@@ -87,6 +87,28 @@ class OpsSpec extends SparkTestBase {
     assert(c2.contains((11L, 20L)), c2.toString)
   }
 
+  test("real BMP codec: encode∘decode == id, padding and row order exact") {
+    // 3x2 image with distinct per-pixel values; width 3 forces row padding
+    val px = Map(
+      (0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60), (2, 0) -> (70, 80, 90),
+      (0, 1) -> (11, 21, 31), (1, 1) -> (41, 51, 61), (2, 1) -> (71, 81, 91))
+    val bytes = Multimodal.encodeBmp(3, 2, (x, y) => px((x, y)))
+    val d = Multimodal.decodeBmp(bytes)
+    assert(d.width == 3 && d.height == 2)
+    for (((x, y), (r, g, b)) <- px) {
+      val p = d.pixels(y * 3 + x)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((r, g, b)),
+        s"pixel ($x,$y)")
+    }
+    // and through the Spark path: means of the known corpus formula
+    val means = Multimodal.bmpChannelMeans(Multimodal.bmpImages(spark, 10))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(means(0L)._1 == 4 && means(0L)._2 == 3)
+    // img 0, mean_r = avg((x*7 + y*13) % 256) over 4x3 grid
+    val exp = (for (x <- 0 until 4; y <- 0 until 3) yield (x * 7 + y * 13) % 256)
+    assert(math.abs(means(0L)._3 - exp.sum.toDouble / exp.size) < 1e-9)
+  }
+
   test("int8 quantization: max component hits ±127, zero vector guarded") {
     import spark.implicits._
     val d = Seq(
