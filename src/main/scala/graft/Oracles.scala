@@ -366,6 +366,24 @@ object Oracles {
           round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
         FROM m"""
 
+  /** REAL decode + resize oracle: nearest-neighbor source coordinates
+    * (x·w÷3, y·h÷2) re-derived per output pixel, means from the
+    * generator formula at those coordinates. */
+  val qMultimodalBmpResize: String =
+    s"""WITH imgs AS (SELECT img_id, 4 + img_id % 5 AS w, 3 + img_id % 4 AS h
+          FROM ${inp("bmp_ids")}),
+        p AS (SELECT img_id, w, h, ux.x AS x, uy.y AS y
+              FROM imgs, unnest(range(3)) AS ux(x), unnest(range(2)) AS uy(y)),
+        s AS (SELECT img_id, (x * w) // 3 AS sx, (y * h) // 2 AS sy FROM p),
+        m AS (SELECT img_id,
+          avg(CAST((sx*7 + sy*13 + img_id) % 256 AS DOUBLE)) AS mr,
+          avg(CAST((sx*3 + sy*5 + 2*img_id) % 256 AS DOUBLE)) AS mg,
+          avg(CAST((sx*11 + sy + 3*img_id) % 256 AS DOUBLE)) AS mb
+        FROM s GROUP BY img_id)
+        SELECT img_id, 3 AS out_w, 2 AS out_h,
+          round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
+        FROM m"""
+
   /** Token counts + rolling polynomial fingerprint, all recomputed
     * exactly (unicode fold seeded by a prepended 0 == Spark's
     * aggregate initial accumulator). */
@@ -869,6 +887,7 @@ object Oracles {
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_segments" -> qMultimodalSegments,
     "q_multimodal_bmp" -> qMultimodalBmp,
+    "q_multimodal_bmp_resize" -> qMultimodalBmpResize,
     "q_text_tokens" -> qTextTokens,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,

@@ -429,6 +429,12 @@ object SparkEntry {
     "q_multimodal_bmp" -> ((s, dir) => {
       ops.Multimodal.bmpChannelMeans(ops.Multimodal.bmpImages(s, imagesFor(dir) / 5))
     }),
+    // REAL decode + REAL nearest-neighbor resize (3x2), means of the
+    // resized pixels — the oracle re-derives the sampled coordinates
+    "q_multimodal_bmp_resize" -> ((s, dir) => {
+      ops.Multimodal.bmpResizedMeans(
+        ops.Multimodal.bmpImages(s, imagesFor(dir) / 5), outW = 3, outH = 2)
+    }),
     // multimodal: stubbed decode → resize metadata (real Spark plumbing)
     "q_multimodal_resize" -> ((s, dir) => {
       ops.Multimodal.resizeMeta(

@@ -95,6 +95,49 @@ object Multimodal {
     BmpPixels(width, height, px)
   }
 
+  /** REAL nearest-neighbor resize over decoded pixels: output (x, y)
+    * samples source (x·w÷outW, y·h÷outH) — the standard decimation. */
+  def resizeNearest(img: BmpPixels, outW: Int, outH: Int): BmpPixels = {
+    val px = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        px(y * outW + x) = img.pixels(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    BmpPixels(outW, outH, px)
+  }
+
+  /** REAL decode → REAL resize → channel means of the RESIZED pixels
+    * (fixed outW×outH so the oracle can re-derive the sampled source
+    * coordinates). */
+  def bmpResizedMeans(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.select(col("img_id").cast("long"), col("bmp"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = resizeNearest(decodeBmp(bytes), outW, outH)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var i = 0
+        while (i < d.pixels.length) {
+          val p = d.pixels(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        val n = d.pixels.length.toDouble
+        (id, d.width, d.height, r4(sr / n), r4(sg / n), r4(sb / n))
+      })
+      .toDF("img_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+  }
+
   /** Deterministic BMP corpus: image id has w = 4 + id%5, h = 3 + id%4
     * and pixel (x, y) = (r, g, b) =
     * ((x·7 + y·13 + id) % 256, (x·3 + y·5 + 2id) % 256,

@@ -100,6 +100,12 @@ class OpsSpec extends SparkTestBase {
       assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((r, g, b)),
         s"pixel ($x,$y)")
     }
+    // real nearest-neighbor resize: 4x2 -> 2x1 samples columns 0 and 2
+    val wide = Multimodal.encodeBmp(4, 2,
+      (x, y) => (x * 10 + y, 0, 0))
+    val rz = Multimodal.resizeNearest(Multimodal.decodeBmp(wide), 2, 1)
+    assert(rz.width == 2 && rz.height == 1)
+    assert(((rz.pixels(0) >> 16) & 0xff, (rz.pixels(1) >> 16) & 0xff) == ((0, 20)))
     // and through the Spark path: means of the known corpus formula
     val means = Multimodal.bmpChannelMeans(Multimodal.bmpImages(spark, 10))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
