@@ -56,18 +56,26 @@ object Oracles {
 
   // ---------------- training-data ops over driver tables ----------------
 
+  /** SimHash oracle over the FULL 64-bit token hash: hashes live as
+    * UBIGINT (16 leading md5 hex chars), the signature is assembled in
+    * HUGEINT (1::BIGINT << 63 overflows DuckDB's BIGINT shift) and
+    * wrapped to the signed two's-complement BIGINT the engine emits. */
   val qDedupSimhash: String = {
     val votes = (0 until 64).map { b =>
       s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS v$b"
     }.mkString(", ")
     val bits = (0 until 64).map { b =>
-      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+      s"(CASE WHEN v$b > 0 THEN (1::HUGEINT << $b) ELSE 0::HUGEINT END)"
     }.mkString(" + ")
     s"""WITH h AS (SELECT doc_id,
           list_transform(string_split(regexp_replace(lower(text),'\\s+',' ','g'),' '),
-            tk -> ${md5Long("tk")}) AS hs FROM documents),
-        v AS (SELECT doc_id, $votes FROM h)
-        SELECT doc_id, ($bits) AS simhash FROM v"""
+            tk -> ('0x'||substr(md5(tk),1,16))::UBIGINT) AS hs FROM documents),
+        v AS (SELECT doc_id, $votes FROM h),
+        u AS (SELECT doc_id, ($bits) AS uh FROM v)
+        SELECT doc_id,
+          CASE WHEN uh >= 9223372036854775808::HUGEINT
+               THEN (uh - 18446744073709551616::HUGEINT)::BIGINT
+               ELSE uh::BIGINT END AS simhash FROM u"""
   }
 
   /** MinHash band-bucket CTEs (signature + banding re-derived), shared

@@ -235,7 +235,7 @@ object Relations {
       if (piece.trim.nonEmpty) {
         val sentence = piece.trim
         // the SAME predicate trim uses (c <= ' '), NOT isWhitespace:
-        // trim also strips control chars  - that isWhitespace
+        // trim also strips control chars U+0000-U+0008 that isWhitespace
         // rejects, and mixing the two broke the span invariant on such
         // input (ADVICE r02)
         val sentStart = pieceStart + piece.indexWhere(_ > ' ')

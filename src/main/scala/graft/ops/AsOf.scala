@@ -17,9 +17,13 @@ import org.apache.spark.sql.expressions.Window
   * left rows at equal ts (inclusive <=); right-row ties at one ts
   * resolve deterministically to the largest `rightOrdCol`.
   *
-  * Caveat: a NULL in a right value column is skipped by ignoreNulls
-  * (treated as missing), so attribution columns can come from different
-  * right rows when right values contain nulls.
+  * ATOMIC ROW semantics: the right value columns are packed into ONE
+  * struct (NULL as a whole on left-side rows) and a single
+  * last(struct, ignoreNulls) picks it, so every asof_* output column
+  * comes from the SAME right row even when individual right values are
+  * NULL — matching the oracle's LATERAL-limit-1 whole-row pick. (The
+  * previous per-column last() could stitch columns from different
+  * right rows when a value column contained NULLs — ADVICE r03.)
   *
   * Output: every left column, plus `asof_<c>` for each requested right
   * column (plus the right ord and ts), NULL when no right row precedes. */
@@ -29,24 +33,27 @@ object AsOf {
       rightOrdCol: String, rightValCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
     val rVals = (rightValCols :+ rightOrdCol :+ tsCol).distinct
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lSel = lCols.map(col) ++
-      Seq(lit(1).as("__side"), lit(null).cast("long").as("__ord")) ++
-      rVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+      Seq(lit(1).as("__side"), lit(null).cast("long").as("__ord"),
+        lit(null).cast(rStructType).as("__r"))
     val rSel = lCols.map { c =>
       if (c == keyCol || c == tsCol) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c)
     } ++
-      Seq(lit(0).as("__side"), col(rightOrdCol).cast("long").as("__ord")) ++
-      rVals.map(c => col(c).as(s"__r_$c"))
+      Seq(lit(0).as("__side"), col(rightOrdCol).cast("long").as("__ord"),
+        struct(rVals.map(c => col(c).as(c)): _*).as("__r"))
     val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rVals.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // ONE ignoreNulls pick of the whole struct: right rows always carry
+    // a non-null struct (even if its fields are null), left rows a null
+    // struct — so the pick lands on exactly one right ROW, atomically
+    val filled = u.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(lCols.map(col) ++ rVals.map(c => col(s"asof_$c")): _*)
+      .select(lCols.map(col) ++ rVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Range (interval) join, the other operator Spark lacks natively:

@@ -57,11 +57,47 @@ object Graph {
     * the per-iteration-job-overhead trap (see connectedComponents) never
     * fires. The edge+degree table and node list are persisted since the
     * plan references them once per iteration. Returns (iri, pagerank)
-    * rounded to 6. */
-  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val e = edges.filter(!col("is_literal"))
+    * rounded to 6.
+    *
+    * SIZE-TIERED like connectedComponents (VERDICT r03 "What's wrong"
+    * #2): the distributed chain is the right 100-TB plan, but on a
+    * vocabulary-sized graph its 5 chained shuffle stages pay ~2-3 s of
+    * fixed Spark overhead each — so under `driverEdgeLimit` distinct
+    * edges the exact same recursion runs on the driver in milliseconds
+    * (deliberate, documented collect; result-identity tested in
+    * GraphSpec). Double-sum order differs between tiers only at the
+    * ~1e-19 absolute level — round(6) absorbs it. */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.filter(!col("is_literal"))
       .select(col("src_iri"), col("dst_iri")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    if (nEdges <= driverEdgeLimit) {
+      // driver tier: same formula, exact, one collect of the (near-dup-
+      // sized, NOT corpus-sized) distinct entity-edge list
+      val pairs = e.as[(String, String)].collect()
+      e.unpersist()
+      val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+      val es = pairs.map { case (s, d) => (id(s), id(d)) }
+      val n = idx.size
+      val outDeg = new Array[Int](n)
+      es.foreach { case (s, _) => outDeg(s) += 1 }
+      var pr = Array.fill(n)(1.0 / n)
+      for (_ <- 0 until iters) {
+        val contrib = new Array[Double](n)
+        es.foreach { case (s, d) => contrib(d) += pr(s) / outDeg(s) }
+        pr = Array.tabulate(n)(v => (1.0 - damping) / n + damping * contrib(v))
+      }
+      val names = idx.keys.toArray
+      return spark.createDataset(
+        names.indices.map(i => (names(i),
+          BigDecimal(pr(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        .toDF("iri", "pagerank")
+    }
     val nodes = e.select(col("src_iri").as("iri"))
       .unionByName(e.select(col("dst_iri").as("iri"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

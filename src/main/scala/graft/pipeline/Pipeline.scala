@@ -141,7 +141,8 @@ object Pipeline {
   def graphFromTriples(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
       broadcastVocabLimit: Long = defaultBroadcastVocabLimit,
       includeProps: Boolean = false,
-      broadcastKbLimit: Long = defaultBroadcastKbLimit): (DataFrame, DataFrame) = {
+      broadcastKbLimit: Long = defaultBroadcastKbLimit,
+      kbCountHint: Option[Long] = None): (DataFrame, DataFrame) = {
     // ONE big-table rollup: every distinct entity surface with its
     // deterministic representative (type, slug). classify() is a pure
     // function of the surface, so min_by just pins tie order.
@@ -161,7 +162,8 @@ object Pipeline {
 
     // Linking + IRI minting, all vocabulary-sized. links has unique
     // surface keys, so the non-broadcast join needs no salt (no skew).
-    val links = linkSurfaces(surfaceInfo.select(col("surface")), kb, broadcastKbLimit)
+    val links = linkSurfaces(surfaceInfo.select(col("surface")), kb, broadcastKbLimit,
+      kbCountHint)
     val linkSide = links.select(col("surface"), col("uri"))
     val surfaceIri = surfaceInfo
       .join(if (useBroadcast) broadcast(linkSide) else linkSide, Seq("surface"), "left")

@@ -73,15 +73,16 @@ class OpsSpec extends SparkTestBase {
     // batch B: a near-dup of doc 1, a fresh doc, and an intra-batch dup
     val nearDup = base.replace("token30", "x30")
     val batchB = docs(Seq((10L, nearDup), (11L, "completely new words here"), (12L, nearDup)))
-    val (cross, intra) = Dedup.lshIndexProbe(batchB, "doc_id", "text", dir)
+    val (cross, intra, freshBuckets) = Dedup.lshIndexProbe(batchB, "doc_id", "text", dir)
     val c = cross.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(c.contains((1L, 10L)) && c.contains((1L, 12L)), c.toString)
     assert(!c.exists(_._1 == 2L), "unrelated corpus doc matched")
     val i = intra.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(i == Set((10L, 12L)))
-    Dedup.lshIndexAppend(batchB, "doc_id", "text", dir)
+    // append REUSES the probe's signed buckets (no re-signing)
+    Dedup.lshIndexAppendBuckets(freshBuckets, dir)
     // batch C duplicates a batch-B doc: found only because of the append
-    val (cross2, _) = Dedup.lshIndexProbe(
+    val (cross2, _, _) = Dedup.lshIndexProbe(
       docs(Seq((20L, "completely new words here"))), "doc_id", "text", dir)
     val c2 = cross2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(c2.contains((11L, 20L)), c2.toString)
@@ -145,6 +146,24 @@ class OpsSpec extends SparkTestBase {
     assert(got(100L) == ((Some(52L), Some(3.0)))) // inclusive + ord tie-break
     assert(got(101L) == ((Some(53L), Some(4.0))))
     assert(got(102L) == ((None, None))) // no prior right row for user 2
+  }
+
+  test("as-of join: NULL right values stay atomic (whole-row pick)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((100L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    // latest preceding right row (ord 51) has a NULL value; the older
+    // row (ord 50) has 7.0 — per-column last(ignoreNulls) would stitch
+    // (event_id=51, value=7.0), a row that never existed (ADVICE r03)
+    val right = Seq(
+      (1L, ts(8), 50L, Some(7.0)),
+      (1L, ts(9), 51L, None))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = AsOf.asofJoin(left, right, "user_id", "ts", "event_id", Seq("value"))
+      .select("asof_event_id", "asof_value").collect()(0)
+    assert(r.getLong(0) == 51L, r.toString)
+    assert(r.isNullAt(1), "value must be the picked ROW's null, not an older row's value")
   }
 
   test("range join: same-key pairs within the window, including cross-bucket") {

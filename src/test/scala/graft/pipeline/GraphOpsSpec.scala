@@ -65,4 +65,16 @@ class GraphOpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(again == pr)
   }
+
+  test("pageRank: driver tier == distributed tier (size-tier identity)") {
+    // mixed topology: hub, chain, cycle, dangling sink
+    val e = edges(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("d", "b"), ("c", "e"), ("e", "f")))
+    val driver = Graph.pageRank(e).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driverEdgeLimit = 0 forces the distributed chained-shuffle plan
+    val dist = Graph.pageRank(e, driverEdgeLimit = 0L).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(driver == dist, s"driver=$driver dist=$dist")
+  }
 }
