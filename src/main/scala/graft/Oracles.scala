@@ -644,7 +644,9 @@ object Oracles {
         fz0 AS (SELECT m.surface, kb.uri,
                   jaro_winkler_similarity(kb.label_lc, m.surface_lc) AS confidence
                 FROM miss m JOIN kb
-                  ON split_part(m.surface_lc, ' ', 1) = split_part(kb.label_lc, ' ', 1)),
+                  ON list_contains(string_split(kb.label_lc, ' '),
+                                   split_part(m.surface_lc, ' ', 1))
+                 AND contains(kb.label_lc, m.surface_lc)),
         fz AS (SELECT surface, uri, confidence FROM (
                  SELECT *, row_number() OVER (PARTITION BY surface
                    ORDER BY confidence DESC, uri ASC) AS rn

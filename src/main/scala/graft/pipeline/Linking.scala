@@ -41,6 +41,17 @@ object Linking {
   /** Salt count for the large-KB blocked fuzzy join. */
   val fuzzyBlockSalts = 16
 
+  /** KB side of the fuzzy blocked join: one row per DISTINCT token of
+    * each label (block = token). Joined against the miss side's FIRST
+    * surface token, this admits every containing label that shares a
+    * whole token with the surface — the scalable re-expression of the
+    * reference's CONTAINS(LCASE(label), LCASE(name)) candidate query
+    * (entity_linker.rs:296-312); the exact `contains` predicate runs
+    * after the equi-join. Tokens are distinct per label, so a candidate
+    * pair joins through exactly one block key — no dedup needed. */
+  private[pipeline] def kbTokenBlocked(kb: DataFrame): DataFrame =
+    kb.withColumn("block", explode(array_distinct(split(col("label_lc"), " "))))
+
   /** The large-KB blocked fuzzy join shape, shared by linkFuzzy, link
     * and Pipeline.linkSurfaces: the KB side (column `label_lc`, with a
     * `block` key) is SPLIT across salts by label hash; the mention side
@@ -100,22 +111,24 @@ object Linking {
     top1(cands)
   }
 
-  /** J2 fuzzy linking: block on the first token of the lowercased
-    * surface/label (explode-free: both sides derive the same key), then
-    * Jaro-Winkler ≥ fuzzyThreshold as confidence. `broadcastKb = false`
-    * switches to the large-KB shape: the KB side is SPLIT across salts
-    * by label hash and the mention side replicated per salt, so one
-    * Zipfian-hot block never lands on one reducer. */
+  /** J2 fuzzy linking with the reference's CONTAINS candidate semantics
+    * (entity_linker.rs:296-312): candidates are labels CONTAINING the
+    * lowercased surface, scored by Jaro-Winkler ≥ fuzzyThreshold. Made
+    * joinable by token blocking — KB exploded per distinct label token,
+    * surface blocks on its first token, exact `contains` post-filter.
+    * `broadcastKb = false` switches to the large-KB shape: the KB side
+    * is SPLIT across salts by label hash and the mention side replicated
+    * per salt, so one Zipfian-hot block never lands on one reducer. */
   def linkFuzzy(mentions: Dataset[MentionRow], kb: Dataset[KbEntry],
       broadcastKb: Boolean = true, salts: Int = 16): DataFrame = {
     val m = mentionKeys(mentions)
       .withColumn("block", split(col("surface_lc"), " ").getItem(0))
-    val k = kb.toDF
-      .withColumn("block", split(col("label_lc"), " ").getItem(0))
+    val k = kbTokenBlocked(kb.toDF)
     val cands0 =
       if (broadcastKb) m.join(broadcast(k), "block")
       else saltedBlockJoin(m, k, salts)
     val cands = cands0
+      .filter(col("label_lc").contains(col("surface_lc")))
       .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
       .filter(col("confidence") >= fuzzyThreshold)
       .select(col("url"), col("surface"), col("uri"), col("confidence"))
@@ -137,12 +150,13 @@ object Linking {
     val misses = mentionKeys(mentions)
       .join(exact.select("url", "surface"), Seq("url", "surface"), "left_anti")
     val fuzzy = {
-      val k = kb.toDF.withColumn("block", split(col("label_lc"), " ").getItem(0))
+      val k = kbTokenBlocked(kb.toDF)
       val m = misses.withColumn("block", split(col("surface_lc"), " ").getItem(0))
       val cands0 =
         if (useBroadcast) m.join(broadcast(k), "block")
         else saltedBlockJoin(m, k)
       val cands = cands0
+        .filter(col("label_lc").contains(col("surface_lc")))
         .withColumn("confidence", jw(col("label_lc"), col("surface_lc")))
         .filter(col("confidence") >= fuzzyThreshold)
         .select(col("url"), col("surface"), col("uri"), col("confidence"))

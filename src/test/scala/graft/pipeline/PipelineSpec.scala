@@ -75,6 +75,32 @@ class PipelineSpec extends SparkTestBase {
     assert(nodes.count() == nodes.select("iri").distinct().count())
   }
 
+  test("J2 fuzzy candidates follow reference CONTAINS semantics (entity_linker.rs:296-312)") {
+    import spark.implicits._
+    val kb = Seq(
+      KbEntry("https://kb.local/e/acme", "The Acme Corporation",
+        "the acme corporation", Seq("Organization")),
+      KbEntry("https://kb.local/e/francisco", "Francisco", "francisco", Seq("Person")),
+      KbEntry("https://kb.local/e/smyth", "John Smyth", "john smyth", Seq("Person"))).toDS()
+    val surfaces = Seq("Acme Corporation", "rancisco", "John Smith").toDF("surface")
+    val got = Pipeline.linkSurfaces(surfaces, kb, kbCountHint = Some(3L))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 1. surface sharing a NON-FIRST label token: contained in the label
+    //    and JW-similar -> candidate the old first-token blocking missed
+    assert(graft.kernel.Jaro.jaroWinkler("the acme corporation", "acme corporation") >= 0.8)
+    assert(got.get("Acme Corporation").contains("https://kb.local/e/acme"), got.toString)
+    // 2. JW-similar but NOT contained ("john smith" vs "john smyth"):
+    //    the reference's CONTAINS pre-filter excludes it, so we must too
+    assert(graft.kernel.Jaro.jaroWinkler("john smyth", "john smith") >= 0.8)
+    assert(!got.contains("John Smith"), got.toString)
+    // 3. PINNED DEVIATION: a mid-token substring ("rancisco" inside
+    //    "francisco") IS a reference CONTAINS candidate (character-level
+    //    substring, JW 0.96) but token blocking cannot reach it — the
+    //    documented miss class of the scalable re-expression
+    assert(graft.kernel.Jaro.jaroWinkler("francisco", "rancisco") >= 0.8)
+    assert(!got.contains("rancisco"), got.toString)
+  }
+
   test("stage-0 engine switch: none/coref/coreference all run; coref recovers the It-facts") {
     import spark.implicits._
     val chunks = Kg.chunk(Kg.extractText(Corpus.pages(spark, 100, 4)))
