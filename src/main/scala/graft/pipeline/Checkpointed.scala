@@ -156,10 +156,18 @@ object Checkpointed {
     *    edges for fresh buckets can be built from the fresh triples
     *    alone and written with dynamic partition overwrite (old-bucket
     *    edge files are never rewritten, asserted by CheckpointedSpec);
-    *  - the node table merges the previous nodes with the fresh
-    *    buckets' nodes and re-reduces by IRI (min_by is associative, so
-    *    the merge equals a full rebuild — result-identity tested). Both
-    *    inputs are vocabulary-sized.
+    *  - APPEND-ONLY ingest (never-before-seen buckets): the node table
+    *    merges the previous nodes with the fresh buckets' nodes and
+    *    re-reduces by IRI — min_by is associative, so for row ADDITION
+    *    the merge equals a full rebuild (result-identity tested);
+    *  - RE-EXTRACTION (a bucket whose triples were invalidated and
+    *    redone, detected as a pending bucket that already carries a
+    *    graph marker): the union-merge can only ever ADD node rows, so
+    *    entities that existed solely in the bucket's previous
+    *    extraction would persist forever (ADVICE r03). These runs
+    *    rebuild the node table from ALL triples instead — an O(corpus)
+    *    scan, paid only on the rare invalidation path, never by
+    *    append-only ingest.
     *
     * At 10^12 documents this is the difference between an incremental
     * run costing O(fresh) and one costing O(corpus). */
@@ -183,19 +191,30 @@ object Checkpointed {
       tripleRuns.collect { case (pk, r) if !graphRuns.get(pk).contains(r) => pk })
       .toSeq.sorted
     if (pending.isEmpty && hadGraph) return
+    // a pending bucket with ANY previous graph marker was re-extracted
+    // (its old rows are already inside nodes/) — append-only merge is
+    // unsound for it, so the node table must be rebuilt from all triples
+    val reextracted = hadGraph && pending.exists(pk => graphRuns.contains(pk))
     // partition-pruned read: only pending buckets (everything, when the
-    // graph tables don't exist yet)
+    // graph tables don't exist yet or a re-extraction forces a rebuild)
     val tripAll = spark.read.parquet(s"$baseDir/triples")
     val tripIn =
-      if (hadGraph) tripAll.filter(col("pk").isin(pending: _*))
+      if (hadGraph && !reextracted) tripAll.filter(col("pk").isin(pending: _*))
       else tripAll
-    val (nodesFresh, edgesFresh) =
+    val (nodesFresh, edgesAll) =
       Pipeline.graphFromTriples(tripIn.drop("pk").as[TripleRow], kb)
+    // on the rebuild path only the pending buckets' edge partitions are
+    // (re)written — old-bucket edge files stay untouched either way
+    val edgesFresh =
+      if (hadGraph && reextracted)
+        edgesAll.withColumn("__pk", bucketOf(col("url"), nBuckets))
+          .filter(col("__pk").isin(pending: _*)).drop("__pk")
+      else edgesAll
 
-    // nodes: vocabulary-sized merge with the previous table (min_by is
-    // associative; same reduction as a full rebuild)
+    // nodes: vocabulary-sized associative merge on the append-only path;
+    // full rebuild (nodesFresh already spans ALL triples) on re-extraction
     val nodesMerged =
-      if (!hadGraph) nodesFresh
+      if (!hadGraph || reextracted) nodesFresh
       else spark.read.parquet(s"$baseDir/nodes").unionByName(nodesFresh)
         .groupBy(col("iri"))
         .agg(min_by(struct(col("entity_type"), col("name"), col("slug")),

@@ -187,6 +187,39 @@ class CheckpointedSpec extends SparkTestBase {
     assert(table(dirB, "nodes") == table(dirA, "nodes"))
   }
 
+  test("re-extracted bucket with SHRUNK content: stale nodes are dropped (full-rebuild identity)") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir()
+    val kb = Corpus.kb(spark, 300)
+    val pagesA = Corpus.pages(spark, 250, 4)
+    Checkpointed.runAll(pagesA, kb, dir, nBuckets = 8, runId = 1)
+    // invalidate one bucket and re-extract it from a SMALLER corpus:
+    // entities its old extraction contributed must disappear from nodes
+    // (the union-merge could only ever ADD rows — ADVICE r03)
+    val victim = Checkpointed.graphDoneBuckets(dir).head
+    Files.delete(Paths.get(dir, "_done", s"pk=$victim.json"))
+    val pagesB = Corpus.pages(spark, 120, 4)
+    Checkpointed.runAll(pagesB, kb, dir, nBuckets = 8, runId = 2)
+    // invariant: the node table equals a full rebuild from the CURRENT
+    // triples — no stale rows from the victim's previous extraction
+    import spark.implicits._
+    val trip = spark.read.parquet(s"$dir/triples").drop("pk").as[TripleRow]
+    val (expectNodes, expectEdges) = Pipeline.graphFromTriples(trip, kb)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(spark.read.parquet(s"$dir/nodes")) == canon(expectNodes))
+    // edges stay per-bucket consistent too
+    assert(canon(spark.read.parquet(s"$dir/edges").drop("pk")) == canon(expectEdges))
+    // and the rebuild actually removed something (the scenario is real):
+    // bucket[victim] of pagesA had triples that pagesB lacks
+    val aCount = Kg.pagesToTriples(pagesA)
+      .withColumn("pk", Checkpointed.bucketOf(col("url"), 8))
+      .filter(col("pk") === victim).count()
+    val bCount = trip.toDF.withColumn("pk", Checkpointed.bucketOf(col("url"), 8))
+      .filter(col("pk") === victim).count()
+    assert(bCount < aCount, s"victim bucket did not shrink ($aCount -> $bCount)")
+  }
+
   test("runAll produces graph tables partitioned by domain bucket") {
     val dir = freshDir()
     val pages = Corpus.pages(spark, 200, 4)
