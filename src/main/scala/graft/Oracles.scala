@@ -565,6 +565,77 @@ object Oracles {
         FROM c"""
   }
 
+  /** DuckDB string expression for a Scala string containing newlines
+    * (joined with chr(10); single quotes doubled). */
+  private def sqlStr(s: String): String =
+    s.split("\n", -1).map(p => s"'${p.replace("'", "''")}'").mkString("||chr(10)||")
+
+  /** O1 retry-feedback oracle: the per-entity validation verdict plus
+    * the reference's generate_validation_error_message templates
+    * (extractor.rs:189-218) rebuilt in SQL from the dumped triples. */
+  val kgRetryFeedback: String = {
+    val dateList = Validate.dateProps.map(p => s"'$p'").mkString(", ")
+    val nameRules = Validate.schemaOrgRules
+      .flatMap(r => r.entityType.map(t => s"WHEN '$t' THEN '${r.name}'")).mkString(" ")
+    val schemaSuffix = sqlStr("\n\nPlease ensure:\n" +
+      "- @context is set to \"https://schema.org/\"\n" +
+      "- @type is present and valid (Person, Organization, Place, Event, etc.)\n" +
+      "- All required properties for the entity type are included\n" +
+      "- Property names match Schema.org vocabulary")
+    val missingSuffix = sqlStr("\n\nPlease ensure:\n" +
+      "- All required Schema.org properties are present\n" +
+      "- Field names are spelled correctly\n" +
+      "- Values are not null or empty")
+    val structMsg = sqlStr("Basic validation failed: missing @type/@context " +
+      "analogue (blank subject or entity type)")
+    s"""WITH plant AS (SELECT * FROM (
+          SELECT url || '#plant' || rn AS url, subj,
+            CASE WHEN rn = 1 THEN '' ELSE 'Person' END AS subj_type,
+            CASE WHEN rn = 2 THEN '' ELSE subj_surface END AS subj_surface,
+            pred, obj
+          FROM (SELECT url, subj, subj_type, subj_surface, pred, obj,
+                  row_number() OVER (ORDER BY url, subj, pred, obj) AS rn
+                FROM ${inp("triples")})
+          WHERE rn <= 2)),
+        t AS (SELECT url, subj, subj_type, subj_surface, pred, obj
+              FROM ${inp("triples")}
+              UNION ALL SELECT * FROM plant),
+        e AS (SELECT url, subj,
+          min(subj_type) AS entity_type, min(subj_surface) AS name,
+          count(DISTINCT CASE WHEN pred IN ($dateList)
+            AND NOT (length(obj) = 10 AND substr(obj,5,1) = '-' AND substr(obj,8,1) = '-')
+            THEN pred END) AS n_bad_dates
+        FROM t GROUP BY url, subj),
+        v AS (SELECT url, subj, entity_type, n_bad_dates,
+          CASE WHEN subj IS NULL OR length(trim(subj)) = 0
+                 OR entity_type IS NULL OR length(trim(entity_type)) = 0
+               THEN 1 ELSE 0 END AS broken,
+          CASE WHEN entity_type IN (SELECT unnest([${Validate.schemaOrgRules
+            .flatMap(_.entityType).map(t => s"'$t'").mkString(", ")}]))
+                 AND (name IS NULL OR length(trim(name)) = 0)
+               THEN 1 ELSE 0 END AS name_missing
+        FROM e),
+        c AS (SELECT *, CASE WHEN broken = 1 THEN 0.5::DOUBLE
+               ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE,
+                 1.0::DOUBLE - 0.2::DOUBLE*name_missing - 0.05::DOUBLE*n_bad_dates))
+          END AS conf FROM v)
+        SELECT url, subj,
+          (broken = 0 AND name_missing = 0 AND conf >= 0.7) AS valid,
+          CASE WHEN broken = 0 AND name_missing = 0 AND conf >= 0.7 THEN NULL
+               WHEN broken = 1 THEN 'basic_structure'
+               WHEN name_missing = 1 THEN (CASE entity_type $nameRules END)
+               ELSE 'low_confidence' END AS feedback_rule,
+          CASE WHEN broken = 0 AND name_missing = 0 AND conf >= 0.7 THEN NULL
+               WHEN broken = 1
+                 THEN 'Schema Validation Error: '||$structMsg||$schemaSuffix
+               WHEN name_missing = 1
+                 THEN 'Missing Required Field: name'||$missingSuffix
+               ELSE 'Extraction Error: validation failed with '||n_bad_dates||
+                 ' warning(s)'||chr(10)||chr(10)||'Please try again with valid JSON-LD.'
+          END AS feedback
+        FROM c"""
+  }
+
   val kgWindowedCounts: String =
     s"""SELECT date_trunc('hour', p.warc_ts) AS win_start, t.pred,
           CAST(count(*) AS BIGINT) AS n_triples
@@ -908,6 +979,7 @@ object Oracles {
     "kg_node_props" -> kgNodeProps,
     "kg_context_summary" -> kgContextSummary,
     "kg_validate" -> kgValidate,
+    "kg_retry_feedback" -> kgRetryFeedback,
     "kg_windowed_counts" -> kgWindowedCounts,
     "kg_docred_denorm" -> kgDocredDenorm,
     "kg_docred_cross_sentence" -> kgDocredCrossSentence,

@@ -549,6 +549,28 @@ object SparkEntry {
       Validate.validateEntities(triplesFor(s, dir))
         .select(col("url"), col("subj"), size(col("violations")).as("n_violations"),
           round(col("confidence"), 4).as("confidence"), col("valid"))
+    }),
+    // O1 retry-feedback diagnostics: the reference's Instructor-loop
+    // error messages (extractor.rs:189-218) as a deterministic column —
+    // NULL for valid entities, the exact correction prompt otherwise.
+    // The corpus never produces an invalid entity, so TWO broken
+    // entities are PLANTED deterministically (the 2 smallest triples,
+    // re-keyed: one with a blank type, one as a surface-less Person) to
+    // put the structure + missing-name templates under the oracle; the
+    // low-confidence generic branch needs >= 7 warnings (impossible with
+    // 4 date props) and is pinned by ValidateSpec instead
+    "kg_retry_feedback" -> ((s, dir) => {
+      val trip = triplesFor(s, dir)
+      val w = Window.orderBy(col("url"), col("subj"), col("pred"), col("obj"))
+      val planted = trip.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .withColumn("url", concat(col("url"), lit("#plant"), col("rn")))
+        .withColumn("subj_type",
+          when(col("rn") === 1, lit("")).otherwise(lit("Person")))
+        .withColumn("subj_surface",
+          when(col("rn") === 2, lit("")).otherwise(col("subj_surface")))
+        .drop("rn")
+      Validate.retryFeedback(trip.unionByName(planted))
     })
   )
 

@@ -190,4 +190,63 @@ object Validate {
     val joined = triples.join(verdicts, Seq("url", "subj"))
     (joined.filter(col("valid")), joined.filter(!col("valid")))
   }
+
+  /** O1 retry-feedback diagnostics — the reference's Instructor-loop
+    * error messages (extractor.rs:189-218 generate_validation_error_
+    * message) as a deterministic column per entity, completing the
+    * validate-or-flag contract: the flagged side now carries the exact
+    * human/LLM-readable correction prompt a retry would send. Template
+    * choice follows the reference's error taxonomy mapped onto the flat
+    * model:
+    *  - basic-structure failure (the Missing @type/@context analogue,
+    *    types.rs:232-247 → Error::Validation) → "Schema Validation
+    *    Error: ..." template;
+    *  - missing required property (validation.rs required rules →
+    *    Error::MissingField) → "Missing Required Field: ..." template;
+    *  - invalid on confidence alone (warnings only) → the generic
+    *    "Extraction Error" template; the reference formats the Display
+    *    of a nondeterministically-ordered violation here, so the
+    *    deterministic analogue reports the violation COUNT.
+    * The retry prompt wrapper ("The previous extraction failed with the
+    * following error:\n\n{msg}\n\nPlease correct the JSON-LD and
+    * extract again from this text:\n\n{text}", extractor.rs:249-252)
+    * prepends the chunk text and is assembled at the call site that
+    * owns the text column.
+    *
+    * Output: (url, subj, valid, feedback_rule, feedback); the feedback
+    * columns are NULL for valid entities. */
+  def retryFeedback(triples: DataFrame,
+      rules: Seq[ValidationRule] = schemaOrgRules,
+      enableAsk: Boolean = false): DataFrame = {
+    val v = validateEntities(triples, rules = rules, enableAsk = enableAsk)
+    val errs = filter(col("violations"),
+      x => x.getField("severity") === lit("Error"))
+    // first Error (rule order is plan-time deterministic); try_ variant:
+    // ANSI mode errors on element_at over the empty (warnings-only) array
+    val fe = try_element_at(errs, lit(1))
+    val schemaSuffix = "\n\nPlease ensure:\n" +
+      "- @context is set to \"https://schema.org/\"\n" +
+      "- @type is present and valid (Person, Organization, Place, Event, etc.)\n" +
+      "- All required properties for the entity type are included\n" +
+      "- Property names match Schema.org vocabulary"
+    val missingSuffix = "\n\nPlease ensure:\n" +
+      "- All required Schema.org properties are present\n" +
+      "- Field names are spelled correctly\n" +
+      "- Values are not null or empty"
+    v.select(col("url"), col("subj"), col("valid"),
+      when(col("valid"), lit(null).cast("string"))
+        .otherwise(coalesce(fe.getField("rule"), lit("low_confidence")))
+        .as("feedback_rule"),
+      when(col("valid"), lit(null).cast("string"))
+        .when(fe.getField("rule") === "basic_structure",
+          concat(lit("Schema Validation Error: "), fe.getField("message"),
+            lit(schemaSuffix)))
+        .when(fe.isNotNull,
+          concat(lit("Missing Required Field: "), fe.getField("property"),
+            lit(missingSuffix)))
+        .otherwise(concat(lit("Extraction Error: validation failed with "),
+          size(col("violations")).cast("string"),
+          lit(" warning(s)\n\nPlease try again with valid JSON-LD.")))
+        .as("feedback"))
+  }
 }

@@ -134,6 +134,48 @@ class ValidateSpec extends SparkTestBase {
     assert(Seq(-0.5, -0.2, -0.15, -0.1, -0.05).forall(_ < 0))
   }
 
+  test("O1 retry feedback: every template branch fires (extractor.rs:189-218)") {
+    import spark.implicits._
+    val rows = Seq(
+      trip("u1", "ok", "birthdat", "1932-03-15"),                   // valid -> NULL
+      trip("u2", "broken", "worksfor", "Acme", subjType = ""),      // structure
+      trip("u3", "noname", "birthdat", "1932-03-15", surface = ""), // missing name
+      trip("u4", "dates", "birthdat", "bad1"),
+      trip("u4", "dates", "deathdat", "bad2"),
+      trip("u4", "dates", "datepublish", "bad3"))
+    val fb = Validate.retryFeedback(rows.toDF)
+      .collect().map(r => r.getString(1) ->
+        (r.getBoolean(2), Option(r.getString(3)), Option(r.getString(4)))).toMap
+    assert(fb("ok") == ((true, None, None)))
+    val (bValid, bRule, bMsg) = fb("broken")
+    assert(!bValid && bRule.contains("basic_structure"))
+    assert(bMsg.get.startsWith("Schema Validation Error: Basic validation failed"))
+    assert(bMsg.get.contains("@context is set to \"https://schema.org/\""))
+    val (nValid, nRule, nMsg) = fb("noname")
+    assert(!nValid && nRule.contains("person_requires_name"))
+    assert(nMsg.get == "Missing Required Field: name\n\nPlease ensure:\n" +
+      "- All required Schema.org properties are present\n" +
+      "- Field names are spelled correctly\n" +
+      "- Values are not null or empty")
+    // 3 bad dates: 0.85 confidence, warnings only -> still VALID (no feedback)
+    assert(fb("dates") == ((true, None, None)))
+  }
+
+  test("O1 retry feedback: low-confidence generic branch (warning-only invalid)") {
+    import spark.implicits._
+    // three ASK-style warnings (-0.15 each) + a bad date (-0.05) ->
+    // confidence 0.50 < 0.7 with NO Error violations -> generic template
+    val asks = (1 to 3).map(i => Validate.ValidationRule(s"ask$i", s"check $i",
+      Nil, Some("Person"), Some(lit(false))))
+    val fb = Validate.retryFeedback(
+      Seq(trip("u1", "e", "birthdat", "not-a-date-x")).toDF,
+      rules = Validate.schemaOrgRules ++ asks, enableAsk = true).head()
+    assert(!fb.getBoolean(2))
+    assert(fb.getString(3) == "low_confidence")
+    assert(fb.getString(4) == "Extraction Error: validation failed with 4 warning(s)" +
+      "\n\nPlease try again with valid JSON-LD.")
+  }
+
   test("splitByValidity drops triples of invalid entities only") {
     import spark.implicits._
     val rows = Seq(
