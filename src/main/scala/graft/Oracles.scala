@@ -374,6 +374,57 @@ object Oracles {
           round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
         FROM m"""
 
+  /** Formula-means oracle for a lossless decode corpus with dimensions
+    * w = wBase + id%5, h = hBase + id%4 — shared by the BMP, PNG and
+    * GIF queries: the same formula answer checks three independent
+    * engine-side decode paths (hand parser, inflate, LZW+palette). */
+  private def formulaMeansOracle(wBase: Int, hBase: Int): String =
+    s"""WITH imgs AS (SELECT img_id, $wBase + img_id % 5 AS w,
+          $hBase + img_id % 4 AS h
+          FROM ${inp("bmp_ids")}),
+        p AS (SELECT img_id, w, h, ux.x AS x, uy.y AS y
+              FROM imgs, unnest(range(w)) AS ux(x), unnest(range(h)) AS uy(y)),
+        m AS (SELECT img_id, w, h,
+          avg(CAST((x*7 + y*13 + img_id) % 256 AS DOUBLE)) AS mr,
+          avg(CAST((x*3 + y*5 + 2*img_id) % 256 AS DOUBLE)) AS mg,
+          avg(CAST((x*11 + y + 3*img_id) % 256 AS DOUBLE)) AS mb
+        FROM p GROUP BY img_id, w, h)
+        SELECT img_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
+        FROM m"""
+
+  val qMultimodalPng: String = formulaMeansOracle(4, 3)
+  /** GIF corpus uses 6x5-base sizes (JDK GIF codec quirk below ~30 px). */
+  val qMultimodalGif: String = formulaMeansOracle(6, 5)
+
+  /** JPEG decode oracle: dimensions from the id formula (exact); the
+    * engine's mean-error booleans must all be true (measured worst
+    * error 1.46 at tol 3.0 — a broken DCT/colorspace path flips them). */
+  val qMultimodalJpeg: String =
+    s"""SELECT img_id,
+          CAST(16 + (img_id % 5) * 8 AS INT) AS width,
+          CAST(16 + (img_id % 4) * 8 AS INT) AS height,
+          true AS r_ok, true AS g_ok, true AS b_ok
+        FROM ${inp("bmp_ids")}"""
+
+  /** WAV decode oracle: container fields + exact integer sample sums
+    * re-derived from the formula s_i = ((i·37 + id·101) % 4096) − 2048. */
+  val qMultimodalWav: String =
+    s"""WITH a AS (SELECT img_id AS audio_id,
+          8000 + (img_id % 3) * 4000 AS rate,
+          800 + (img_id % 5) * 400 AS ns FROM ${inp("bmp_ids")}),
+        s AS (SELECT audio_id, rate, ns,
+            ((u.i * 37 + audio_id * 101) % 4096) - 2048 AS v
+          FROM a, unnest(range(ns)) AS u(i)),
+        m AS (SELECT audio_id, min(rate) AS rate, min(ns) AS ns,
+            sum(v) AS sv, sum(v * v) AS svq
+          FROM s GROUP BY audio_id)
+        SELECT audio_id, CAST(rate AS INT) AS sample_rate,
+          CAST(1 AS INT) AS channels, CAST(ns AS BIGINT) AS n_samples,
+          round(CAST(sv AS DOUBLE) / ns, 4) AS mean_amp,
+          round(sqrt(CAST(svq AS DOUBLE) / ns), 4) AS rms
+        FROM m"""
+
   /** REAL decode + resize oracle: nearest-neighbor source coordinates
     * (x·w÷3, y·h÷2) re-derived per output pixel, means from the
     * generator formula at those coordinates. */
@@ -969,6 +1020,10 @@ object Oracles {
     "q_multimodal_segments" -> qMultimodalSegments,
     "q_multimodal_bmp" -> qMultimodalBmp,
     "q_multimodal_bmp_resize" -> qMultimodalBmpResize,
+    "q_multimodal_png" -> qMultimodalPng,
+    "q_multimodal_gif" -> qMultimodalGif,
+    "q_multimodal_jpeg" -> qMultimodalJpeg,
+    "q_multimodal_wav" -> qMultimodalWav,
     "q_text_tokens" -> qTextTokens,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,

@@ -449,6 +449,29 @@ object SparkEntry {
       ops.Multimodal.bmpResizedMeans(
         ops.Multimodal.bmpImages(s, imagesFor(dir) / 5), outW = 3, outH = 2)
     }),
+    // REAL JDK codecs (javax.imageio, zero external jars): PNG and GIF
+    // round-trip losslessly, so the decode — header, inflate/LZW,
+    // palette, row order — sits under the exact formula oracle
+    "q_multimodal_png" -> ((s, dir) => {
+      ops.Multimodal.jdkChannelMeans(
+        ops.Multimodal.codecImages(s, imagesFor(dir) / 5, "png"))
+    }),
+    "q_multimodal_gif" -> ((s, dir) => {
+      ops.Multimodal.jdkChannelMeans(
+        ops.Multimodal.codecImages(s, imagesFor(dir) / 5, "gif", wBase = 6, hBase = 5))
+    }),
+    // REAL JPEG decode (lossy): dims exact under oracle + per-channel
+    // mean-error-bounded booleans the oracle expects true
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      ops.Multimodal.jpegDecodeCheck(
+        ops.Multimodal.jpegImages(s, imagesFor(dir) / 5))
+    }),
+    // REAL WAV PCM decode (javax.sound.sampled): container fields +
+    // exact integer sample statistics under the formula oracle
+    "q_multimodal_wav" -> ((s, dir) => {
+      ops.Multimodal.wavDecodeStats(
+        ops.Multimodal.wavAudios(s, imagesFor(dir) / 5))
+    }),
     // multimodal: stubbed decode → resize metadata (real Spark plumbing)
     "q_multimodal_resize" -> ((s, dir) => {
       ops.Multimodal.resizeMeta(

