@@ -584,16 +584,24 @@ object SparkEntry {
     // 4 date props) and is pinned by ValidateSpec instead
     "kg_retry_feedback" -> ((s, dir) => {
       val trip = triplesFor(s, dir)
-      val w = Window.orderBy(col("url"), col("subj"), col("pred"), col("obj"))
-      val planted = trip.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
-        .withColumn("url", concat(col("url"), lit("#plant"), col("rn")))
-        .withColumn("subj_type",
-          when(col("rn") === 1, lit("")).otherwise(lit("Person")))
-        .withColumn("subj_surface",
-          when(col("rn") === 2, lit("")).otherwise(col("subj_surface")))
-        .drop("rn")
-      Validate.retryFeedback(trip.unionByName(planted))
+      // the 2 smallest triples via TakeOrderedAndProject (never a
+      // single-partition global window), re-keyed on the driver
+      val seeds = trip.orderBy("url", "subj", "pred", "obj").limit(2).collect()
+      val planted = seeds.zipWithIndex.map { case (r, i) =>
+        val rn = i + 1
+        org.apache.spark.sql.Row.fromSeq(trip.columns.indices.map { ci =>
+          trip.columns(ci) match {
+            case "url" => r.getString(ci) + "#plant" + rn
+            case "subj_type" => if (rn == 1) "" else "Person"
+            case "subj_surface" => if (rn == 2) "" else r.get(ci)
+            case _ => r.get(ci)
+          }
+        })
+      }
+      val plantedDf = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(planted: _*)), trip.schema)
+      Validate.retryFeedback(trip.unionByName(plantedDf))
     })
   )
 
