@@ -407,6 +407,28 @@ object Oracles {
           true AS r_ok, true AS g_ok, true AS b_ok
         FROM ${inp("bmp_ids")}"""
 
+  /** REAL-video (animated GIF) oracle: frame counts, sampled frame
+    * indices, the delay timeline and per-frame channel means all
+    * re-derived from the id + frame formulas. */
+  val qMultimodalVideo: String =
+    s"""WITH v AS (SELECT img_id AS video_id, 6 + img_id % 5 AS w,
+          5 + img_id % 4 AS h, 4 + img_id % 7 AS nf,
+          4 + (img_id % 3) * 2 AS delay FROM ${inp("bmp_ids")}),
+        fr AS (SELECT video_id, w, h, nf, delay, uf.f AS f
+               FROM v, unnest(range(0, nf, 2)) AS uf(f)),
+        p AS (SELECT video_id, w, h, nf, delay, f, ux.x AS x, uy.y AS y
+              FROM fr, unnest(range(w)) AS ux(x), unnest(range(h)) AS uy(y)),
+        m AS (SELECT video_id, f, nf, w, h, delay,
+          avg(CAST((x*7 + y*13 + video_id + f*17) % 256 AS DOUBLE)) AS mr,
+          avg(CAST((x*3 + y*5 + 2*video_id + f*29) % 256 AS DOUBLE)) AS mg,
+          avg(CAST((x*11 + y + 3*video_id + f*5) % 256 AS DOUBLE)) AS mb
+        FROM p GROUP BY video_id, f, nf, w, h, delay)
+        SELECT video_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(f * delay AS BIGINT) AS ts_cs,
+          round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
+        FROM m"""
+
   /** WAV decode oracle: container fields + exact integer sample sums
     * re-derived from the formula s_i = ((i·37 + id·101) % 4096) − 2048. */
   val qMultimodalWav: String =
@@ -1024,6 +1046,7 @@ object Oracles {
     "q_multimodal_gif" -> qMultimodalGif,
     "q_multimodal_jpeg" -> qMultimodalJpeg,
     "q_multimodal_wav" -> qMultimodalWav,
+    "q_multimodal_video" -> qMultimodalVideo,
     "q_text_tokens" -> qTextTokens,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,

@@ -472,6 +472,13 @@ object SparkEntry {
       ops.Multimodal.wavDecodeStats(
         ops.Multimodal.wavAudios(s, imagesFor(dir) / 5))
     }),
+    // REAL video container decode: animated GIF (multi-frame + frame
+    // delays) — frame count, per-frame LZW pixel decode, sampling plan
+    // and timeline all under the formula oracle
+    "q_multimodal_video" -> ((s, dir) => {
+      ops.Multimodal.gifFrameSample(
+        ops.Multimodal.gifVideos(s, imagesFor(dir) / 5), stride = 2)
+    }),
     // multimodal: stubbed decode → resize metadata (real Spark plumbing)
     "q_multimodal_resize" -> ((s, dir) => {
       ops.Multimodal.resizeMeta(

@@ -321,6 +321,139 @@ object Multimodal {
       .toDF("img_id", "width", "height", "r_ok", "g_ok", "b_ok")
   }
 
+  // ---- REAL video container: animated GIF via javax.imageio ----
+  // GIF89a with multiple frames + per-frame GraphicControlExtension
+  // delays IS a video container (frames on a timeline), and the JDK
+  // writes/reads it natively — so the video modality gains a fully
+  // real decode path: container parse, frame count, per-frame LZW
+  // pixel decode and the frame timeline all sit under the formula
+  // oracle. (Compressed interframe codecs — H.264 etc. — remain the
+  // ffmpeg seam; the fakeVideo metadata plans model that tier.)
+
+  /** Per-frame pixel formula of video id, frame f. */
+  def formulaRgbFrame(id: Long, f: Int): (Int, Int) => (Int, Int, Int) = (x, y) => (
+    ((x * 7 + y * 13 + id + f * 17) % 256).toInt,
+    ((x * 3 + y * 5 + 2 * id + f * 29) % 256).toInt,
+    ((x * 11 + y + 3 * id + f * 5) % 256).toInt)
+
+  /** Encode full frames as an animated GIF with a fixed per-frame
+    * delay (centiseconds), disposal "none". */
+  def encodeAnimatedGif(width: Int, height: Int, delayCs: Int,
+      frames: Seq[(Int, Int) => (Int, Int, Int)]): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    val p = wr.getDefaultWriteParam
+    wr.prepareWriteSequence(null)
+    frames.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = rgb(x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val md = wr.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), p)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      val existing = root.getElementsByTagName("GraphicControlExtension")
+      if (existing.getLength > 0) root.replaceChild(gce, existing.item(0))
+      else root.appendChild(gce)
+      md.setFromTree(fmt, root)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
+    }
+    wr.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  final case class GifVideo(width: Int, height: Int, delayCs: Int,
+      frames: Array[BmpPixels])
+
+  /** REAL animated-GIF decode: container parse → every frame's pixels
+    * + the frame-0 GraphicControlExtension delay. */
+  def decodeAnimatedGif(bytes: Array[Byte]): GifVideo = {
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = rd.getNumImages(true)
+    require(n > 0, "empty GIF container")
+    val frames = Array.tabulate(n) { f =>
+      val img = rd.read(f)
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+        y += 1
+      }
+      BmpPixels(w, h, px)
+    }
+    val md = rd.getImageMetadata(0)
+    val root = md.getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val gces = root.getElementsByTagName("GraphicControlExtension")
+    val delay =
+      if (gces.getLength > 0)
+        gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          .getAttribute("delayTime").toInt
+      else 0
+    rd.dispose()
+    GifVideo(frames(0).width, frames(0).height, delay, frames)
+  }
+
+  /** Deterministic animated-GIF video corpus: video id has
+    * w = 6 + id%5, h = 5 + id%4 (the GIF-safe sizes), nFrames =
+    * 4 + id%7, delay = 4 + 2·(id%3) cs, formulaRgbFrame pixels. */
+  def gifVideos(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val w = (6 + id % 5).toInt
+      val h = (5 + id % 4).toInt
+      val nf = (4 + id % 7).toInt
+      val delay = (4 + (id % 3) * 2).toInt
+      (id, encodeAnimatedGif(w, h, delay,
+        (0 until nf).map(f => formulaRgbFrame(id, f))))
+    }.toDF("video_id", "gif")
+  }
+
+  /** REAL video frame sampling: decode the container, keep frames
+    * 0, stride, 2·stride, …, emit per-frame channel means + the
+    * timeline position ts_cs = frame_idx · delay — every field
+    * (container frame count, pixel decode, timeline) re-derivable by
+    * the formula oracle. One narrow mapPartitions pass. */
+  def gifFrameSample(df: DataFrame, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("video_id").cast("long"), col("gif"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val v = decodeAnimatedGif(bytes)
+        (0 until v.frames.length by stride).iterator.map { f =>
+          val (mr, mg, mb) = channelMeans(v.frames(f))
+          (id, f, v.frames.length, v.width, v.height,
+            f.toLong * v.delayCs, r4(mr), r4(mg), r4(mb))
+        }
+      })
+      .toDF("video_id", "frame_idx", "n_frames", "width", "height",
+        "ts_cs", "mean_r", "mean_g", "mean_b")
+  }
+
   // ---- REAL audio codec via the JDK (javax.sound.sampled): WAV PCM ----
 
   /** Deterministic PCM16 samples of audio id:

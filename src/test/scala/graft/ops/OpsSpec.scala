@@ -129,6 +129,29 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("animated GIF video container: frames round-trip pixel-exact with delays") {
+    for (id <- Seq(0L, 4L, 9L)) {
+      val w = (6 + id % 5).toInt
+      val h = (5 + id % 4).toInt
+      val nf = (4 + id % 7).toInt
+      val delay = (4 + (id % 3) * 2).toInt
+      val bytes = Multimodal.encodeAnimatedGif(w, h, delay,
+        (0 until nf).map(f => Multimodal.formulaRgbFrame(id, f)))
+      val v = Multimodal.decodeAnimatedGif(bytes)
+      assert(v.width == w && v.height == h, s"dims id=$id")
+      assert(v.frames.length == nf, s"frame count id=$id")
+      assert(v.delayCs == delay, s"delay id=$id")
+      for (f <- 0 until nf) {
+        val rgb = Multimodal.formulaRgbFrame(id, f)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = rgb(x, y)
+          assert(v.frames(f).pixels(y * w + x) == ((r << 16) | (g << 8) | b),
+            s"id=$id frame=$f pixel ($x,$y)")
+        }
+      }
+    }
+  }
+
   test("real BMP codec: encode∘decode == id, padding and row order exact") {
     // 3x2 image with distinct per-pixel values; width 3 forces row padding
     val px = Map(
