@@ -709,6 +709,14 @@ object Oracles {
         FROM c"""
   }
 
+  /** WARC-ingest oracle: the engine's url/n_chars/md5 after the full
+    * html→WARC→gzip→parse→extract round-trip must equal the directly
+    * generated text (byte-identity through the real input format). */
+  val kgWarcIngest: String =
+    s"""SELECT url, CAST(length(text) AS BIGINT) AS n_chars,
+          md5(text) AS text_md5
+        FROM ${inp("pages_text")}"""
+
   val kgWindowedCounts: String =
     s"""SELECT date_trunc('hour', p.warc_ts) AS win_start, t.pred,
           CAST(count(*) AS BIGINT) AS n_triples
@@ -1058,6 +1066,7 @@ object Oracles {
     "kg_context_summary" -> kgContextSummary,
     "kg_validate" -> kgValidate,
     "kg_retry_feedback" -> kgRetryFeedback,
+    "kg_warc_ingest" -> kgWarcIngest,
     "kg_windowed_counts" -> kgWindowedCounts,
     "kg_docred_denorm" -> kgDocredDenorm,
     "kg_docred_cross_sentence" -> kgDocredCrossSentence,

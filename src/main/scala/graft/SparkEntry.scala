@@ -562,6 +562,29 @@ object SparkEntry {
     "docred_real_cross_sentence" -> ((s, dir) => {
       DocRed.crossSentenceCounts(sources.DocRedJson.docs(s))
     }),
+    // S1 via the REAL input format: pages round-tripped through
+    // Common-Crawl-style .warc.gz shards (WARC/1.0 records, gzip from
+    // java.util.zip, Content-Length-driven parse) then text-extracted —
+    // the oracle compares url/length/md5 against the directly-generated
+    // text, so the whole serialize→gzip→parse→extract path must be
+    // byte-identical
+    "kg_warc_ingest" -> ((s, dir) => {
+      checkpointed(s, s"warc_ingest_${pagesFor(dir)}") {
+        import s.implicits._
+        val warcDir = java.nio.file.Files
+          .createTempDirectory("graft_warc").toString + "/warc"
+        sources.Warc.writeWarcGz(Corpus.pages(s, pagesFor(dir)), warcDir)
+        sources.Warc.readPages(s, warcDir)
+          .select(col("url"), col("html"))
+          .as[(String, Array[Byte])]
+          .map { case (url, html) =>
+            val text = graft.kernel.HtmlText.extract(html)
+            (url, text.length.toLong, text)
+          }
+          .toDF("url", "n_chars", "text")
+          .select(col("url"), col("n_chars"), md5(col("text")).as("text_md5"))
+      }
+    }),
     // A8/A9: per-case metrics + aggregate over the live pipeline
     "kg_eval_aggregate" -> ((s, dir) => {
       val (_, agg) = EvalAgg.perCaseAndAggregate(

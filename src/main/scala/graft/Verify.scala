@@ -77,6 +77,9 @@ object Verify {
     w(Kg.mentions(resolved).toDF, "mentions")
     w(Kg.aliasTable(resolved), "aliases")
     w(SparkEntry.pagesTsFor(spark, sfDir), "pages_ts")
+    // url + directly-generated text: the kg_warc_ingest oracle's ground
+    // truth for the warc serialize→gzip→parse→extract round-trip
+    w(Corpus.pages(spark, n).toDF.select(col("url"), col("text")), "pages_text")
     w(Corpus.kb(spark).toDF, "kb")
     w(DocRed.corpus(spark, n / 10).toDF, "docred")
     w(sources.DocRedJson.docs(spark), "docred_real")

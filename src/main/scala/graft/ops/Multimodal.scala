@@ -290,6 +290,42 @@ object Multimodal {
       .toDF("img_id", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** O4 per-row error tolerance on the decode path: a real crawl's
+    * image column contains truncated/corrupt blobs, and one bad row
+    * must not detonate a 10^12-row job. Undecodable rows are DROPPED
+    * here — never silently at the caller's grain: pair with
+    * `decodeFailures` to count/log what was dropped (no-silent-caps
+    * rule). */
+  def jdkChannelMeansTolerant(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("img_id").cast("long"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        scala.util.Try {
+          val d = decodeJdk(bytes)
+          val (mr, mg, mb) = channelMeans(d)
+          (id, d.width, d.height, r4(mr), r4(mg), r4(mb))
+        }.toOption
+      })
+      .toDF("img_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** The rows jdkChannelMeansTolerant dropped: (img_id, error). */
+  def decodeFailures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("img_id").cast("long"), col("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        scala.util.Try(decodeJdk(bytes)) match {
+          case scala.util.Failure(e) => Some((id, e.getMessage))
+          case _ => None
+        }
+      })
+      .toDF("img_id", "error")
+  }
+
   /** REAL JPEG decode check: decoded dimensions (exact) + per-channel
     * mean-error-bounded booleans vs the formula (the decode is honest —
     * a broken codec path flips the booleans and the oracle, which

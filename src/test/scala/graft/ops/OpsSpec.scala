@@ -129,6 +129,23 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("O4 tolerant decode: corrupt blobs dropped + counted, never detonating the job") {
+    import spark.implicits._
+    val good = Multimodal.encodeJdk(6, 5, "png", Multimodal.formulaRgb(1L))
+    val truncated = good.take(10)
+    val garbage = Array.fill[Byte](40)(0x5a)
+    val df = Seq((1L, good), (2L, truncated), (3L, garbage)).toDF("img_id", "img")
+    val ok = Multimodal.jdkChannelMeansTolerant(df)
+      .collect().map(_.getLong(0)).toSet
+    assert(ok == Set(1L))
+    val failed = Multimodal.decodeFailures(df).collect().map(_.getLong(0)).toSet
+    assert(failed == Set(2L, 3L))
+    // the strict path fails loudly on the same input
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.jdkChannelMeans(df).collect()
+    }
+  }
+
   test("animated GIF video container: frames round-trip pixel-exact with delays") {
     for (id <- Seq(0L, 4L, 9L)) {
       val w = (6 + id % 5).toInt

@@ -180,6 +180,19 @@ class PlanSpec extends SparkTestBase {
     assert(b.count() > 0)
   }
 
+  test("JDK codec decodes are shuffle-free narrow scans (image, video, audio)") {
+    import graft.ops.Multimodal
+    val img = Multimodal.codecImages(spark, 20, "png")
+    val pImg = executedPlan(Multimodal.jdkChannelMeans(img))
+    assert(!pImg.contains("Exchange"), "image decode must not shuffle:\n" + pImg.take(800))
+    val vid = Multimodal.gifVideos(spark, 10)
+    val pVid = executedPlan(Multimodal.gifFrameSample(vid, 2))
+    assert(!pVid.contains("Exchange"), "video frame sample must not shuffle:\n" + pVid.take(800))
+    val wav = Multimodal.wavAudios(spark, 10)
+    val pWav = executedPlan(Multimodal.wavDecodeStats(wav))
+    assert(!pWav.contains("Exchange"), "audio decode must not shuffle:\n" + pWav.take(800))
+  }
+
   test("repetitionFeatures: shuffle-free narrow kernel scan") {
     import spark.implicits._
     val d = (1L to 50L).map(i => (i, s"a b c $i. d e f")).toDF("doc_id", "text")
