@@ -983,6 +983,22 @@ object Oracles {
         SELECT iri, round(pr, 6) AS pagerank FROM p$iters"""
   }
 
+  /** Triangle-count oracle: canonical a<b<c three-way self-join over
+    * the re-derived undirected distinct entity graph, one count per
+    * corner. */
+  val kgTriangles: String =
+    s"""WITH $graphEdgeCtes,
+        und AS (SELECT DISTINCT least(src_iri, dst_iri) AS a,
+            greatest(src_iri, dst_iri) AS b
+          FROM ge WHERE src_iri <> dst_iri),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+        c AS (SELECT unnest([x, y, z]) AS iri FROM tri)
+        SELECT iri, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM c GROUP BY iri"""
+
   /** WebNLG gold denorm re-derived from the dumped entry rows: unnest
     * mtriples, split on " | ", strip literal quotes. */
   val webnlgTriples: String =
@@ -1078,6 +1094,7 @@ object Oracles {
     "kg_degrees" -> kgDegrees,
     "kg_two_hop" -> kgTwoHop,
     "kg_pagerank" -> kgPagerank,
+    "kg_triangles" -> kgTriangles,
     "kg_bgp" -> kgBgp,
     "webnlg_triples" -> webnlgTriples,
     "webnlg_eval" -> webnlgEval)

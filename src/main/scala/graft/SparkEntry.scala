@@ -176,6 +176,10 @@ object SparkEntry {
     "kg_pagerank" -> ((s, dir) => {
       Graph.pageRank(edgesFor(s, dir))
     }),
+    // per-node triangle counts over the undirected entity graph
+    "kg_triangles" -> ((s, dir) => {
+      Graph.triangleCounts(edgesFor(s, dir))
+    }),
     // SPARQL-style BGP: who works where and was born where (two
     // patterns conjoined on ?person; DataFrame joins, Catalyst plans)
     "kg_bgp" -> ((s, dir) => {

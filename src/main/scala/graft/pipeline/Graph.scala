@@ -124,6 +124,35 @@ object Graph {
     out
   }
 
+  /** Per-node triangle counts over the UNDIRECTED distinct entity
+    * graph — the clustering signal KG-quality audits use (dense
+    * triangle neighborhoods ≈ coherent entity clusters; triangle-free
+    * stars ≈ hub spam). Standard two-join count on canonically ordered
+    * (a < b) edges, so each triangle is materialized exactly once as
+    * a < b < c and contributes 1 to each corner. Scale shape: the
+    * first join is keyed on the shared vertex, the second is the
+    * closing-edge hash probe — both plain equi-joins Catalyst plans as
+    * hash joins; the classic degree-ordered optimization drops in by
+    * replacing the canonical order with a (degree, iri) order when
+    * skew demands it. Returns (iri, n_triangles), nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.filter(!col("is_literal"))
+      .select(least(col("src_iri"), col("dst_iri")).as("a"),
+        greatest(col("src_iri"), col("dst_iri")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("iri"))
+      .groupBy(col("iri"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** SPARQL-style basic graph pattern (BGP) over the edge table — the
     * query surface a user of an RDF engine runs daily (the reference
     * delegates SPARQL to its Oxigraph store; here a BGP compiles to

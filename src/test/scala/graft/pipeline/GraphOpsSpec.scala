@@ -66,6 +66,18 @@ class GraphOpsSpec extends SparkTestBase {
     assert(again == pr)
   }
 
+  test("triangleCounts: each triangle counted once per corner; stars are triangle-free") {
+    // K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd only.
+    // Direction and duplicate edges must not matter (undirected distinct).
+    val e = edges(Seq(("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+      ("d", "a"), ("b", "d"),
+      // plus a triangle-free star around z
+      ("z", "s1"), ("z", "s2"), ("z", "s3")))
+    val got = Graph.triangleCounts(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L), got.toString)
+  }
+
   test("pageRank: driver tier == distributed tier (size-tier identity)") {
     // mixed topology: hub, chain, cycle, dangling sink
     val e = edges(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
