@@ -60,23 +60,41 @@ object Oracles {
     * UBIGINT (16 leading md5 hex chars), the signature is assembled in
     * HUGEINT (1::BIGINT << 63 overflows DuckDB's BIGINT shift) and
     * wrapped to the signed two's-complement BIGINT the engine emits. */
-  val qDedupSimhash: String = {
+  /** Unsigned-signature CTEs (doc_id, uh HUGEINT in [0, 2^64)) shared
+    * by the signature and candidate-pair oracles. */
+  private val simhashUnsignedCtes: String = {
     val votes = (0 until 64).map { b =>
       s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS v$b"
     }.mkString(", ")
     val bits = (0 until 64).map { b =>
       s"(CASE WHEN v$b > 0 THEN (1::HUGEINT << $b) ELSE 0::HUGEINT END)"
     }.mkString(" + ")
-    s"""WITH h AS (SELECT doc_id,
+    s"""h AS (SELECT doc_id,
           list_transform(string_split(regexp_replace(lower(text),'\\s+',' ','g'),' '),
             tk -> ('0x'||substr(md5(tk),1,16))::UBIGINT) AS hs FROM documents),
         v AS (SELECT doc_id, $votes FROM h),
-        u AS (SELECT doc_id, ($bits) AS uh FROM v)
+        u AS (SELECT doc_id, ($bits) AS uh FROM v)"""
+  }
+
+  val qDedupSimhash: String =
+    s"""WITH $simhashUnsignedCtes
         SELECT doc_id,
           CASE WHEN uh >= 9223372036854775808::HUGEINT
                THEN (uh - 18446744073709551616::HUGEINT)::BIGINT
                ELSE uh::BIGINT END AS simhash FROM u"""
-  }
+
+  /** SimHash candidate-pair oracle: 16-bit chunk bucketing + exact
+    * Hamming distance re-derived with UBIGINT xor/bit_count. */
+  val qDedupSimhashPairs: String =
+    s"""WITH $simhashUnsignedCtes,
+        s AS (SELECT doc_id, uh::UBIGINT AS sig FROM u),
+        bk AS (SELECT doc_id, sig, ub.band AS band,
+            (sig >> (16 * ub.band)) & 65535 AS key
+          FROM s, unnest(range(4)) AS ub(band))
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
   /** MinHash band-bucket CTEs (signature + banding re-derived), shared
     * by the pair, cluster and index-probe oracles. */
@@ -1047,6 +1065,7 @@ object Oracles {
   /** All generated oracles, keyed by query name. */
   val all: Map[String, String] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_index_probe" -> qDedupIndexProbe,

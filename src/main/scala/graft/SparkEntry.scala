@@ -332,6 +332,11 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       ops.Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // SimHash candidate pairs: 16-bit-chunk blocking (recall-complete
+    // for Hamming <= 3 by pigeonhole) + exact distances, no thresholding
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      ops.Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+    }),
     // n-gram (token) Jaccard over a deterministic candidate pairing
     "q_jaccard_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(length(col("text")) > 0)

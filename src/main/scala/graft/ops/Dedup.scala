@@ -428,6 +428,33 @@ object Dedup {
     out
   }
 
+  /** SimHash near-dup CANDIDATE PAIRS: signatures bucketed by their
+    * four 16-bit chunks — by pigeonhole, any pair within Hamming
+    * distance 3 shares at least one chunk, so chunk-equality is a
+    * recall-complete blocking key for distance ≤ 3. Returns every
+    * distinct same-chunk pair with its exact Hamming distance
+    * (callers threshold as needed; no silent filtering here). Scale
+    * shape mirrors MinHash LSH: the only shuffle is the (band, key)
+    * bucket join — never all pairs. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = simhashTable(df, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col(idCol).as("id1"), col("simhash").as("s1"))
+    val b = banded.select(col("band"), col("key"),
+      col(idCol).as("id2"), col("simhash").as("s2"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .distinct()
+  }
+
   /** SimHash signatures for a whole table, kernel form (the production
     * path): one narrow mapPartitions pass, no shuffle. Returns
     * (idCol, simhash). */

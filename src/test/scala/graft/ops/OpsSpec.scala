@@ -129,6 +129,25 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("simhash candidates: near-dups pair with small hamming; chunk blocking is recall-complete <= 3") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok40", "zzz40") // one token changed
+    val other = (1 to 80).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    val h = pairs((1L, 2L))
+    // exact hamming equals the kernel xor popcount
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = java.lang.Long.bitCount(
+      Dedup.simhashKernel(base, md) ^ Dedup.simhashKernel(nearDup, md))
+    assert(h == expected && h < 16, s"hamming $h vs kernel $expected")
+    // pigeonhole: the pair shares a 16-bit chunk whenever hamming <= 3
+    if (expected <= 3) assert(pairs.contains((1L, 2L)))
+  }
+
   test("O4 tolerant decode: corrupt blobs dropped + counted, never detonating the job") {
     import spark.implicits._
     val good = Multimodal.encodeJdk(6, 5, "png", Multimodal.formulaRgb(1L))
