@@ -96,6 +96,27 @@ object Oracles {
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
+  /** Feature-hashing embedding oracle: integer components re-derived
+    * per (doc, index) and assembled over a dense index grid. */
+  val qTextEmbed: String =
+    s"""WITH toks AS (SELECT doc_id,
+          unnest(string_split(regexp_replace(lower(text),'\\s+',' ','g'),' ')) AS tk
+        FROM documents),
+        h AS (SELECT doc_id, ${md5Long("tk")} AS hv FROM toks),
+        comp AS (SELECT doc_id, hv % 64 AS idx,
+            CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM h),
+        agg AS (SELECT doc_id, idx, sum(s) AS v FROM comp GROUP BY doc_id, idx),
+        docs AS (SELECT DISTINCT doc_id FROM documents),
+        grid AS (SELECT d.doc_id, g.i FROM docs d, unnest(range(64)) AS g(i)),
+        vec AS (SELECT grid.doc_id,
+            list(coalesce(agg.v, 0) ORDER BY grid.i) AS vl
+          FROM grid LEFT JOIN agg
+            ON grid.doc_id = agg.doc_id AND grid.i = agg.idx
+          GROUP BY grid.doc_id)
+        SELECT doc_id, md5(array_to_string(vl, ',')) AS emb_fp,
+          CAST(list_sum(list_transform(vl, x -> abs(x))) AS BIGINT) AS l1
+        FROM vec"""
+
   /** MinHash band-bucket CTEs (signature + banding re-derived), shared
     * by the pair, cluster and index-probe oracles. */
   private val minhashBandCtes: String = {
@@ -1091,6 +1112,7 @@ object Oracles {
     "q_multimodal_wav" -> qMultimodalWav,
     "q_multimodal_video" -> qMultimodalVideo,
     "q_text_tokens" -> qTextTokens,
+    "q_text_embed" -> qTextEmbed,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,
     "kg_eval_aggregate" -> kgEvalAggregate,

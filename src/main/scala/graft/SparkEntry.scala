@@ -428,6 +428,12 @@ object SparkEntry {
         ops.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
         ops.TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
     }),
+    // feature-hashing document embedding (hashing trick, INTEGER
+    // components — exact cross-engine): text -> 64-dim vector, emitted
+    // as md5 fingerprint + L1 norm (driver compare can't hash arrays)
+    "q_text_embed" -> ((s, dir) => {
+      ops.TextAnalysis.hashEmbed(t(s, dir, "documents"), "doc_id", "text")
+    }),
     // language-ID heuristic (argmax of stopword hits, deterministic ties)
     "q_lang_id" -> ((s, dir) => {
       ops.TextAnalysis.langId(

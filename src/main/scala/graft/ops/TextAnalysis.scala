@@ -273,4 +273,46 @@ object TextAnalysis {
     }
     min
   }
+
+  /** Feature-hashing document embedding (hashing trick): token t adds
+    * sign(t) at index md5_60(t) mod dim, with sign(t) = +1 when
+    * (md5_60(t) ÷ dim) is even — INTEGER components, so the vector is
+    * exact and cross-engine reproducible (no float formatting in the
+    * oracle). This is the deterministic stand-in for a model embedding
+    * that closes the text → vector → ANN loop; components ride out as
+    * an md5 fingerprint + L1 norm because the driver compare cannot
+    * hash array columns. One narrow kernel pass, no shuffle. */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+          val vec = new Array[Long](dim)
+          var i = 0
+          while (i < toks.length) {
+            md.reset()
+            val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var j = 0
+            while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+            h = (h << 4) | ((d(7) & 0xf0L) >> 4) // 60-bit md5 prefix
+            val idx = (h % dim).toInt
+            vec(idx) += (if ((h / dim) % 2 == 0) 1L else -1L)
+            i += 1
+          }
+          var l1 = 0L
+          var k = 0
+          while (k < dim) { l1 += math.abs(vec(k)); k += 1 }
+          (id, vec.mkString(","), l1)
+        }
+      }
+      .toDF(idCol, "vec_csv", "l1")
+      .select(col(idCol), md5(col("vec_csv")).as("emb_fp"), col("l1"))
+  }
 }

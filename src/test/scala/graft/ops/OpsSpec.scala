@@ -129,6 +129,18 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("hashEmbed: exact integer components, repeated tokens accumulate") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a"), (2L, "a a a"), (3L, "b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashEmbed(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // identical text -> identical fingerprint; tf accumulates: |v|=3 on one index
+    assert(got(1L) == got(2L))
+    assert(got(1L)._2 == 3L)
+    assert(got(3L)._2 <= 4L) // 4 distinct tokens, possible sign cancellation on collision
+    assert(got(1L)._1 != got(3L)._1)
+  }
+
   test("simhash candidates: near-dups pair with small hamming; chunk blocking is recall-complete <= 3") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
