@@ -96,6 +96,20 @@ object Oracles {
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
+  /** Training-mix sampling oracle: the same md5-seeded shuffle order,
+    * inclusive running token total, budget filter. */
+  val qSampleMix: String =
+    s"""SELECT source, doc_id, CAST(rank AS INT) AS rank,
+          CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+          SELECT source, doc_id,
+            row_number() OVER w AS rank,
+            sum(n_chars // 4) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cum_tokens
+          FROM documents
+          WINDOW w AS (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id))
+        WHERE cum_tokens <= 2000"""
+
   /** Feature-hashing embedding oracle: integer components re-derived
     * per (doc, index) and assembled over a dense index grid. */
   val qTextEmbed: String =
@@ -1113,6 +1127,7 @@ object Oracles {
     "q_multimodal_video" -> qMultimodalVideo,
     "q_text_tokens" -> qTextTokens,
     "q_text_embed" -> qTextEmbed,
+    "q_sample_mix" -> qSampleMix,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,
     "kg_eval_aggregate" -> kgEvalAggregate,

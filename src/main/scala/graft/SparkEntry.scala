@@ -428,6 +428,14 @@ object SparkEntry {
         ops.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
         ops.TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
     }),
+    // training-mix sampling: per-source token-budgeted deterministic
+    // subsample (the data-mixture primitive) — md5-ordered shuffle,
+    // inclusive running token total <= budget
+    "q_sample_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ops.TextAnalysis.sampleByTokenBudget(d, "source", "doc_id",
+        col("n_chars") / lit(4), budget = 2000L)
+    }),
     // feature-hashing document embedding (hashing trick, INTEGER
     // components — exact cross-engine): text -> 64-dim vector, emitted
     // as md5 fingerprint + L1 norm (driver compare can't hash arrays)

@@ -274,6 +274,27 @@ object TextAnalysis {
     min
   }
 
+  /** Training-mix sampling: per source, take documents in a
+    * DETERMINISTIC pseudo-random order (md5 of the id — a seeded
+    * shuffle both engines reproduce) until the per-source token budget
+    * is exhausted (inclusive running total ≤ budget). This is the
+    * data-mixture primitive — balance sources to quota without a
+    * nondeterministic sample(). One window over the source key; scale
+    * shape is a single source-keyed shuffle, and a Zipfian-huge source
+    * salts like any hot window key. Returns every KEPT row with its
+    * shuffle rank and running token total. */
+  def sampleByTokenBudget(df: DataFrame, srcCol: String, idCol: String,
+      tokensCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens",
+        sum(col("__tok")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(srcCol), col(idCol), col("rank"), col("cum_tokens"))
+  }
+
   /** Feature-hashing document embedding (hashing trick): token t adds
     * sign(t) at index md5_60(t) mod dim, with sign(t) = +1 when
     * (md5_60(t) ÷ dim) is even — INTEGER components, so the vector is

@@ -129,6 +129,25 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("sampleByTokenBudget: deterministic per-source quota, inclusive cumsum") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books", 100L)).toDF("doc_id", "source", "n_chars")
+    // 100 chars -> 25 tokens each; budget 100 -> exactly 4 docs per source
+    val got = TextAnalysis.sampleByTokenBudget(d, "source", "doc_id",
+      col("n_chars") / lit(4), budget = 100L).collect()
+    val bySrc = got.groupBy(_.getString(0))
+    assert(bySrc.keySet == Set("web", "books"))
+    bySrc.values.foreach { rows =>
+      assert(rows.length == 4)
+      assert(rows.map(_.getLong(3)).max == 100L) // inclusive boundary kept
+    }
+    // deterministic: same input -> same picked ids
+    val again = TextAnalysis.sampleByTokenBudget(d, "source", "doc_id",
+      col("n_chars") / lit(4), budget = 100L).collect()
+    assert(got.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("hashEmbed: exact integer components, repeated tokens accumulate") {
     import spark.implicits._
     val d = Seq((1L, "a a a"), (2L, "a a a"), (3L, "b c d e")).toDF("doc_id", "text")
