@@ -97,6 +97,14 @@ object SparkEntry {
         kbCountHint = kbCountHint)._2
     }
 
+  /** Checkpointed DISTINCT directed entity-edge view — the multi-hop /
+    * iterative graph queries all consume it, and re-deduplicating the
+    * O(corpus) edge table per query is a repeated shuffle (round-4
+    * bench: ~1-2 s each for kg_two_hop/kg_pagerank/kg_triangles). */
+  def distinctEdgesFor(s: SparkSession, dir: String): DataFrame =
+    checkpointed(s, s"ge_${pagesFor(dir)}")(
+      Graph.entityEdges(edgesFor(s, dir)))
+
   /** Checkpointed (url, warc_ts) of the corpus at this sf. */
   def pagesTsFor(s: SparkSession, dir: String): DataFrame =
     checkpointed(s, s"pages_ts_${pagesFor(dir)}")(
@@ -167,18 +175,18 @@ object SparkEntry {
     }),
     // 2-hop directed neighborhoods of the 3 smallest source IRIs
     "kg_two_hop" -> ((s, dir) => {
-      val edges = edgesFor(s, dir)
-      val seeds = edges.filter(!col("is_literal"))
-        .select(col("src_iri").as("iri")).distinct().orderBy(col("iri")).limit(3)
-      Graph.twoHopNeighbors(edges, seeds)
+      val ge = distinctEdgesFor(s, dir)
+      val seeds = ge.select(col("src_iri").as("iri"))
+        .distinct().orderBy(col("iri")).limit(3)
+      Graph.twoHopNeighbors(ge, seeds, assumeDistinct = true)
     }),
     // fixed-iteration PageRank (5 iters, d = 0.85) over entity edges
     "kg_pagerank" -> ((s, dir) => {
-      Graph.pageRank(edgesFor(s, dir))
+      Graph.pageRank(distinctEdgesFor(s, dir), assumeDistinct = true)
     }),
     // per-node triangle counts over the undirected entity graph
     "kg_triangles" -> ((s, dir) => {
-      Graph.triangleCounts(edgesFor(s, dir))
+      Graph.triangleCounts(distinctEdgesFor(s, dir), assumeDistinct = true)
     }),
     // SPARQL-style BGP: who works where and was born where (two
     // patterns conjoined on ?person; DataFrame joins, Catalyst plans)

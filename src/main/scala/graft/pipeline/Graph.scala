@@ -27,13 +27,26 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** The DISTINCT directed entity-edge view (src_iri, dst_iri) every
+    * multi-hop/iterative query consumes. Callers running SEVERAL graph
+    * queries should materialize this once (parquet/checkpoint) and pass
+    * `assumeDistinct = true` below — re-deduplicating an O(corpus) edge
+    * table per query is a repeated shuffle that dominates at scale. */
+  def entityEdges(edges: DataFrame): DataFrame =
+    edges.filter(!col("is_literal"))
+      .select(col("src_iri"), col("dst_iri")).distinct()
+
+  private def distinctEdges(edges: DataFrame, assumeDistinct: Boolean): DataFrame =
+    if (assumeDistinct) edges.select(col("src_iri"), col("dst_iri"))
+    else entityEdges(edges)
+
   /** Two-hop directed neighborhoods of the seed IRIs over the DISTINCT
     * entity-edge graph: (seed, iri, hop) with hop = min(1, 2). Two
     * equi-joins — the standard k-hop expansion; seeds are few, so the
     * frontier side stays tiny and broadcastable by AQE. */
-  def twoHopNeighbors(edges: DataFrame, seeds: DataFrame): DataFrame = {
-    val e = edges.filter(!col("is_literal"))
-      .select(col("src_iri"), col("dst_iri")).distinct()
+  def twoHopNeighbors(edges: DataFrame, seeds: DataFrame,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val e = distinctEdges(edges, assumeDistinct)
     val h1 = seeds.select(col("iri").as("seed"))
       .join(e, col("seed") === col("src_iri"))
       .select(col("seed"), col("dst_iri").as("iri")).distinct()
@@ -68,11 +81,10 @@ object Graph {
     * GraphSpec). Double-sum order differs between tiers only at the
     * ~1e-19 absolute level — round(6) absorbs it. */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-      driverEdgeLimit: Long = 5000000L): DataFrame = {
+      driverEdgeLimit: Long = 5000000L, assumeDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges.filter(!col("is_literal"))
-      .select(col("src_iri"), col("dst_iri")).distinct()
+    val e0 = distinctEdges(edges, assumeDistinct)
     val e = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
     if (nEdges <= driverEdgeLimit) {
@@ -135,10 +147,10 @@ object Graph {
     * hash joins; the classic degree-ordered optimization drops in by
     * replacing the canonical order with a (degree, iri) order when
     * skew demands it. Returns (iri, n_triangles), nodes in ≥1 triangle. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame, assumeDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = edges.filter(!col("is_literal"))
+    val und = distinctEdges(edges, assumeDistinct)
       .select(least(col("src_iri"), col("dst_iri")).as("a"),
         greatest(col("src_iri"), col("dst_iri")).as("b"))
       .filter(col("a") =!= col("b"))
