@@ -114,6 +114,41 @@ object StreamIngest {
       .start()
   }
 
+  /** Streaming LINKING: the flagship enrichment run continuously — each
+    * micro-batch's triples link against the static KB and materialize
+    * straight to the edge table (stream-static enrichment inside
+    * foreachBatch, where the top-1 link window is legal). Soundness is
+    * the same invariant the incremental batch build rests on: a
+    * surface's IRI is a PURE function of (surface, KB), so per-batch
+    * edge builds union to exactly the all-at-once batch edges
+    * (StreamIngestSpec asserts streamed == batch). The sink reuses the
+    * (batch, pk) dynamic-overwrite idempotence contract of `run`. */
+  def runLinked(spark: SparkSession, pagesDir: String, outDir: String,
+      checkpointDir: String, kb: Dataset[graft.pipeline.KbEntry],
+      kbCountHint: Option[Long] = None, nBuckets: Int = 16): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Page]].schema)
+      .parquet(pagesDir)
+      .as[Page]
+    transform(pages).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[TripleRow], batchId: Long) =>
+        val trip = Kg.dedup(batch)
+        val (_, edges) = graft.pipeline.Pipeline.graphFromTriples(
+          trip, kb, kbCountHint = kbCountHint)
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        edges.withColumn("batch", lit(batchId))
+          .withColumn("pk", Checkpointed.bucketOf(col("url"), nBuckets))
+          .write.mode("overwrite").partitionBy("batch", "pk")
+          .parquet(s"$outDir/edges")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming CONTENT dedup: pages deduplicated across micro-batches
     * by the md5 fingerprint of their normalized text, NOT the url — a
     * recrawl republished under a DIFFERENT url is still dropped (the

@@ -29,6 +29,30 @@ class StreamIngestSpec extends SparkTestBase {
     assert(batch.count() > 0)
   }
 
+  test("streaming linking: per-batch linked edges union to exactly the batch edges") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_slink").toString
+    val pages = Corpus.pages(spark, 120, 4)
+    val kb = Corpus.kb(spark, nDistractors = 300)
+    // two file drops -> two catch-up runs (two independent link batches)
+    pages.limit(60).write.mode("overwrite").parquet(s"$work/pages")
+    StreamIngest.runLinked(spark, s"$work/pages", s"$work/out", s"$work/ckpt", kb)
+      .awaitTermination()
+    pages.write.mode("append").parquet(s"$work/pages")
+    StreamIngest.runLinked(spark, s"$work/pages", s"$work/out", s"$work/ckpt", kb)
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$work/out/edges").drop("batch", "pk")
+    val (_, batchEdges) = graft.pipeline.Pipeline.graphFromTriples(
+      Kg.pagesToTriples(pages), kb)
+    // IRI minting/linking is a pure function of (surface, KB), so the
+    // per-batch builds must reproduce the all-at-once edges exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(streamed.columns.sorted.map(col): _*)
+        .distinct().collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(streamed) == canon(batchEdges))
+    assert(streamed.count() > 0)
+  }
+
   test("replayed foreachBatch batch is idempotent (at-least-once sink)") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_replay").toString
