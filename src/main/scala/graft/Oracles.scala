@@ -96,6 +96,51 @@ object Oracles {
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
+  /** PII redaction oracle: identical planted text, identical regexes
+    * (RE2 subset), identical replacement cascade — DuckDB needs the
+    * 'g' flag Spark's regexp_replace implies. */
+  val qPiiRedact: String = {
+    val email = graft.ops.TextAnalysis.piiEmail
+    val ip = graft.ops.TextAnalysis.piiIp
+    val phone = graft.ops.TextAnalysis.piiPhone
+    s"""WITH p AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or 10.0.0.' ||
+            (doc_id % 256) || ' tel 555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+        r AS (SELECT doc_id, text,
+          regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1 FROM p),
+        r2 AS (SELECT doc_id, text, t1,
+          regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM r)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(t1, '$ip')) AS INT) AS n_ips,
+          CAST(len(regexp_extract_all(t2, '$phone')) AS INT) AS n_phones,
+          md5(regexp_replace(t2, '$phone', '<PHONE>', 'g')) AS redacted_md5
+        FROM r2"""
+  }
+
+  /** Decontamination oracle: 8-token shingle overlap vs the benchmark
+    * subset, re-derived with the same tokenization as MinHash. */
+  val qDecontaminate: String =
+    s"""WITH d AS (SELECT doc_id,
+          string_split(regexp_replace(lower(text),'\\s+',' ','g'),' ') AS toks
+        FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(0, greatest(len(toks)-8,0)+1),
+            i -> array_to_string(list_slice(toks, i+1, i+8), ' '))) AS shl
+          FROM d),
+        bench AS (SELECT DISTINCT unnest(shl) AS shingle FROM sh
+                  WHERE doc_id % 97 = 0),
+        doc AS (SELECT doc_id, unnest(shl) AS shingle FROM sh
+                WHERE doc_id % 97 <> 0),
+        hits AS (SELECT doc_id, count(*) AS n FROM doc
+                 JOIN bench USING (shingle) GROUP BY doc_id)
+        SELECT dd.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+          coalesce(hits.n, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) dd
+        LEFT JOIN hits USING (doc_id)"""
+
   /** Training-mix sampling oracle: the same md5-seeded shuffle order,
     * inclusive running token total, budget filter. */
   val qSampleMix: String =
@@ -1128,6 +1173,8 @@ object Oracles {
     "q_text_tokens" -> qTextTokens,
     "q_text_embed" -> qTextEmbed,
     "q_sample_mix" -> qSampleMix,
+    "q_pii_redact" -> qPiiRedact,
+    "q_decontaminate" -> qDecontaminate,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,
     "kg_eval_aggregate" -> kgEvalAggregate,

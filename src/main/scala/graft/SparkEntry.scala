@@ -436,6 +436,26 @@ object SparkEntry {
         ops.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
         ops.TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
     }),
+    // PII redaction (C4-style scrub): deterministic PII is PLANTED into
+    // every document (same construction in the oracle), then emails /
+    // IPs / phones are counted and replaced by typed tokens — the
+    // cascade order and the md5 of the redacted text are both under
+    // oracle, with identical RE2-subset regexes on both engines
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10.0.0."),
+          pmod(col("doc_id"), lit(256)), lit(" tel 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      ops.TextAnalysis.redactPii(planted, "doc_id", "text")
+    }),
+    // benchmark decontamination: flag documents sharing any 8-token
+    // shingle with the benchmark subset (doc_id % 97 == 0) — broadcast
+    // benchmark shingles, narrow corpus explode, one doc-keyed count
+    "q_decontaminate" -> ((s, dir) => {
+      ops.TextAnalysis.decontaminate(t(s, dir, "documents"), "doc_id", "text",
+        benchPred = col("doc_id") % 97 === 0)
+    }),
     // training-mix sampling: per-source token-budgeted deterministic
     // subsample (the data-mixture primitive) — md5-ordered shuffle,
     // inclusive running token total <= budget

@@ -274,6 +274,59 @@ object TextAnalysis {
     min
   }
 
+  /** PII redaction (the C4-style scrub): emails, IPv4 addresses and
+    * phone-shaped numbers replaced by typed placeholder tokens, with
+    * per-kind match counts. Pure column expressions (regexp_count /
+    * regexp_replace — codegen'd, scan speed); the patterns are kept in
+    * the RE2-compatible subset so the DuckDB oracle runs the IDENTICAL
+    * regexes. Replacement order (email → ip → phone) is part of the
+    * spec: an email's digits must not be re-matched as a phone. */
+  val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val piiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val piiPhone = "[0-9]{3}-[0-9]{4}"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, piiEmail, "<EMAIL>"),
+        piiIp, "<IP>"),
+      piiPhone, "<PHONE>")
+    // counts mirror the replacement cascade: each kind is counted on
+    // the text with the EARLIER kinds already redacted, so a digit
+    // run inside an email is never double-counted as a phone
+    val afterEmail = regexp_replace(t, piiEmail, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, piiIp, "<IP>")
+    df.select(col(idCol),
+      regexp_count(t, lit(piiEmail)).as("n_emails"),
+      regexp_count(afterEmail, lit(piiIp)).as("n_ips"),
+      regexp_count(afterIp, lit(piiPhone)).as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Benchmark decontamination: flag documents sharing any n-token
+    * shingle with a (small) benchmark set — the standard training-set
+    * decontamination pass. Scale shape: the benchmark's distinct
+    * shingles broadcast (eval sets are tiny next to the corpus); the
+    * corpus side is a narrow shingle explode + one doc-keyed count —
+    * never a corpus×corpus join. Returns every non-benchmark document
+    * with its overlap count and flag. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val sh = Dedup.shingles(col(textCol), n)
+    val bench = df.filter(benchPred)
+      .select(explode(array_distinct(sh)).as("shingle")).distinct()
+    val docSh = df.filter(!benchPred)
+      .select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+    val hits = docSh.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    df.filter(!benchPred).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Training-mix sampling: per source, take documents in a
     * DETERMINISTIC pseudo-random order (md5 of the id — a seeded
     * shuffle both engines reproduce) until the per-source token budget

@@ -129,6 +129,35 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("redactPii: cascade replaces emails, IPs, phones with typed tokens") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith@corp.io then ping 192.168.1.77 or call 555-1234 end"),
+      (2L, "clean text without identifiers at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    val expected = "mail <EMAIL> then ping <IP> or call <PHONE> end"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expMd5 = md.digest(expected.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got(1L)._4 == expMd5, s"redacted md5 mismatch")
+    assert(got(2L) == ((0, 0, 0, got(2L)._4)))
+  }
+
+  test("decontaminate: 8-gram overlap with the benchmark subset flags documents") {
+    import spark.implicits._
+    val benchText = (1 to 20).map(i => s"b$i").mkString(" ")
+    val leaked = "x y " + (5 to 12).map(i => s"b$i").mkString(" ") + " z" // 8-gram of bench
+    val clean = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = Seq((0L, benchText), (1L, leaked), (2L, clean)).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(d, "doc_id", "text",
+      benchPred = col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L)) // benchmark docs excluded from output
+    assert(got(1L)._2 && got(1L)._1 == 1L, got.toString)
+    assert(got(2L) == ((0L, false)))
+  }
+
   test("sampleByTokenBudget: deterministic per-source quota, inclusive cumsum") {
     import spark.implicits._
     val d = (1L to 40L).map(i =>
