@@ -437,7 +437,12 @@ object Dedup {
     * shape mirrors MinHash LSH: the only shuffle is the (band, key)
     * bucket join — never all pairs. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = simhashTable(df, idCol, textCol)
+    // the banded lineage feeds BOTH sides of the self-join; the
+    // signature pass is a cheap one-pass kernel by design (and Spark's
+    // exchange reuse usually collapses the identical subplans), but the
+    // eager localCheckpoint guarantees it runs exactly once regardless
+    // (multi-branch-lineage rule, ADVICE r03 on lshIndexProbe)
+    val sigs = simhashTable(df, idCol, textCol).localCheckpoint(true)
     val banded = sigs.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

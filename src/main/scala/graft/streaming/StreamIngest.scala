@@ -136,8 +136,10 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[TripleRow], batchId: Long) =>
         val trip = Kg.dedup(batch)
+        // transientCaches: a stream must not accumulate the graph
+        // build's internal persisted tables across micro-batches
         val (_, edges) = graft.pipeline.Pipeline.graphFromTriples(
-          trip, kb, kbCountHint = kbCountHint)
+          trip, kb, kbCountHint = kbCountHint, transientCaches = true)
         batch.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         edges.withColumn("batch", lit(batchId))
