@@ -96,6 +96,32 @@ object Oracles {
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
+  /** URL canonicalization oracle: identical planted urls, identical
+    * regex spec (lowercase scheme/authority, default-port strip,
+    * fragment drop, utm removal + separator cleanup). */
+  val qUrlCanonical: String =
+    s"""WITH p AS (SELECT c_custkey,
+          'HTTP://Example' || c_custkey || '.COM:80/Path/' || c_custkey ||
+          '?utm_source=x&id=' || c_custkey || '&utm_medium=y#frag' AS url
+        FROM customer),
+        x AS (SELECT c_custkey, url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        FROM p),
+        y AS (SELECT c_custkey, url, scheme,
+          CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+               WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+               ELSE auth END AS auth2,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+            'utm_[A-Za-z_]*=[^&]*', '', 'g'), '&&+', '&', 'g'),
+            '\\?&', '?', 'g'), '[?&]$$', '', 'g') AS rest2
+        FROM x)
+        SELECT c_custkey,
+          CASE WHEN scheme = '' THEN url
+               ELSE scheme || '://' || auth2 || rest2 END AS canon_url
+        FROM y"""
+
   /** PII redaction oracle: identical planted text, identical regexes
     * (RE2 subset), identical replacement cascade — DuckDB needs the
     * 'g' flag Spark's regexp_replace implies. */
@@ -1174,6 +1200,7 @@ object Oracles {
     "q_text_embed" -> qTextEmbed,
     "q_sample_mix" -> qSampleMix,
     "q_pii_redact" -> qPiiRedact,
+    "q_url_canonical" -> qUrlCanonical,
     "q_decontaminate" -> qDecontaminate,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,

@@ -436,6 +436,17 @@ object SparkEntry {
         ops.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
         ops.TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
     }),
+    // crawl URL canonicalization: messy urls planted deterministically
+    // (mixed case, default port, utm params, fragment), normalized to
+    // the dedup key — same regex spec re-run verbatim by the oracle
+    "q_url_canonical" -> ((s, dir) => {
+      val planted = t(s, dir, "customer").select(col("c_custkey"),
+        concat(lit("HTTP://Example"), col("c_custkey"), lit(".COM:80/Path/"),
+          col("c_custkey"), lit("?utm_source=x&id="), col("c_custkey"),
+          lit("&utm_medium=y#frag")).as("url"))
+      planted.select(col("c_custkey"),
+        ops.Urls.canonicalizeUrl(col("url")).as("canon_url"))
+    }),
     // PII redaction (C4-style scrub): deterministic PII is PLANTED into
     // every document (same construction in the oracle), then emails /
     // IPs / phones are counted and replaced by typed tokens — the

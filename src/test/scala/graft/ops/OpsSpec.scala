@@ -129,6 +129,24 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("canonicalizeUrl: case, default ports, fragments, utm params") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM:80/Path?utm_source=x&id=1#frag", "http://example.com/Path?id=1"),
+      ("https://A.b:443/x", "https://a.b/x"),
+      ("https://a.b:8443/x", "https://a.b:8443/x"), // non-default port kept
+      ("http://a.b/p?utm_a=1&utm_b=2", "http://a.b/p"), // all params removed
+      ("http://a.b/p?utm_a=1&id=2&utm_b=3", "http://a.b/p?id=2"),
+      ("ftp://Host/P", "ftp://host/P"), // unknown scheme: no port logic, still lowercased
+      ("not a url", "not a url")) // pass-through
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Urls.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)} (want $want)")
+    }
+  }
+
   test("redactPii: cascade replaces emails, IPs, phones with typed tokens") {
     import spark.implicits._
     val d = Seq(
