@@ -96,6 +96,19 @@ object Oracles {
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
+  /** Similarity-join oracle: the brute-force cross join the engine's
+    * size-bucketed plan must reproduce exactly (threshold compared on
+    * the 4-rounded value, matching the engine's filter). */
+  val qSimJoin: String =
+    s"""WITH d AS (SELECT doc_id,
+          list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE length(text) > 0),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+          round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.8::DOUBLE"""
+
   /** URL canonicalization oracle: identical planted urls, identical
     * regex spec (lowercase scheme/authority, default-port strip,
     * fragment drop, utm removal + separator cleanup). */
@@ -1201,6 +1214,7 @@ object Oracles {
     "q_sample_mix" -> qSampleMix,
     "q_pii_redact" -> qPiiRedact,
     "q_url_canonical" -> qUrlCanonical,
+    "q_sim_join" -> qSimJoin,
     "q_decontaminate" -> qDecontaminate,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,

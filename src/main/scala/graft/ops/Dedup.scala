@@ -364,6 +364,76 @@ object Dedup {
     }
   }
 
+  /** Scalable Jaro-Winkler similarity self-join: all pairs with
+    * JW(a, b) ≥ threshold, WITHOUT the cartesian product Catalyst
+    * would plan for the naive theta-join. Soundness comes from the
+    * classic length-filter bound made equi-joinable:
+    *
+    *   JW = jaro + ℓp(1−jaro), ℓ ≤ 4, p = 0.1 ⟹ JW ≤ 0.6·jaro + 0.4
+    *   jaro ≤ (2 + min/max)/3 (m ≤ min(|a|,|b|), transpositions ≥ 0)
+    *   ⟹ JW ≥ c ⟹ min(|a|,|b|)/max(|a|,|b|) ≥ 5c − 4.
+    *
+    * For c > 0.8 the ratio bound r = 5c−4 is positive, so rows bucket
+    * by floor(log_q |s|) with q = 1/r; any qualifying pair differs by
+    * at most one bucket and one side probes its ±1 neighbors (the
+    * temporalNeighbors shape — a pair matches via exactly one probe
+    * offset, no dedup pass). q is widened by 1e-9 so floating log
+    * error at the exact ratio boundary can never cost recall. The
+    * exact JW ≥ c filter (native codegen expression) runs after the
+    * equi-join. Result-identity vs the brute-force cross join is
+    * property-tested IN-ENGINE (OpsSpec): DuckDB's
+    * jaro_winkler_similarity counts transpositions differently from
+    * strsim on some pairs (e.g. "table stream"/"table fast": 0.9078 vs
+    * 0.8967), so the correctness gate for this operator is the
+    * brute-force identity against the golden-tested kernel JW, not a
+    * cross-engine oracle (use jaccardSimilarityJoin below when an
+    * exact SQL oracle is required). Returns (id1 < id2, jw). */
+  def jwSimilarityJoin(df: DataFrame, idCol: String, strCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.8,
+      s"length pruning needs threshold > 0.8 (ratio bound 5c-4 must be positive); got $threshold")
+    val r = 5 * threshold - 4
+    val lnQ = math.log((1.0 / r) * (1 + 1e-9))
+    val bkt = floor(log(greatest(length(col(strCol)), lit(1)).cast("double")) / lnQ)
+    val e = df.select(col(idCol), col(strCol)).withColumn("bkt", bkt)
+    val a = e.select(col("bkt"), col(idCol).as("id1"), col(strCol).as("s1"))
+    val b = e.select(explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
+      col(idCol).as("id2"), col(strCol).as("s2"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jw",
+        graft.functions.JaroWinklerExpression.jaroWinkler(col("s1"), col("s2")))
+      .filter(col("jw") >= threshold)
+      .select(col("id1"), col("id2"), col("jw"))
+  }
+
+  /** Scalable token-set Jaccard similarity self-join, same pruning
+    * idea with an even simpler bound: J = |A∩B|/|A∪B| ≤ min/max of the
+    * set SIZES, so J ≥ c ⟹ size ratio ≥ c — rows bucket by
+    * floor(log_q |tokens|), q = (1/c)(1+1e-9), one side probes ±1, the
+    * exact Jaccard filter runs after the equi-join. Unlike JW, the
+    * exact filter is bit-identical across engines (set intersections),
+    * so this variant carries the DuckDB brute-force oracle. Returns
+    * (id1 < id2, jaccard rounded 4). */
+  def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1); got $threshold")
+    val lnQ = math.log((1.0 / threshold) * (1 + 1e-9))
+    val toks = array_distinct(split(col(textCol), " "))
+    val e = df.select(col(idCol), toks.as("toks"))
+      .withColumn("bkt", floor(log(greatest(size(col("toks")), lit(1)).cast("double")) / lnQ))
+    val a = e.select(col("bkt"), col(idCol).as("id1"), col("toks").as("t1"))
+    val b = e.select(explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"),
+      col(idCol).as("id2"), col("toks").as("t2"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns. */
   def jaccard(a: Column, b: Column, n: Int): Column = {
     val sa = array_distinct(shingles(a, n))

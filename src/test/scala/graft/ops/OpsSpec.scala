@@ -129,6 +129,58 @@ class OpsSpec extends SparkTestBase {
     assert(back.sameElements(samples), "WAV PCM not lossless")
   }
 
+  test("jwSimilarityJoin == brute-force cross join (length pruning is sound)") {
+    import spark.implicits._
+    // adversarial lengths: short words, long words, near-dups, repeats
+    val rng = new scala.util.Random(7)
+    val base = Seq("alpha", "alphq", "beta", "betatron", "a", "ab",
+      "organization", "organisation", "supercalifragilistic")
+    val strs = (0 until 60).map { i =>
+      val s = base(i % base.length)
+      if (i % 3 == 0) s else s + ("x" * rng.nextInt(3))
+    }
+    val d = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (c <- Seq(0.85, 0.92)) {
+      val got = Dedup.jwSimilarityJoin(d, "id", "s", c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        i <- strs.indices; j <- strs.indices if i < j
+        if graft.kernel.Jaro.jaroWinkler(strs(i), strs(j)) >= c
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect, s"threshold $c: missing=${expect -- got} extra=${got -- expect}")
+      assert(expect.nonEmpty, "fixture must produce matches")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.jwSimilarityJoin(d, "id", "s", 0.8) // pruning unsound at <= 0.8
+    }
+  }
+
+  test("jaccardSimilarityJoin == brute-force cross join (size pruning is sound)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val texts = (0 until 50).map { _ =>
+      val n = 1 + rng.nextInt(12)
+      (0 until n).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val d = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (c <- Seq(0.3, 0.6)) {
+      val got = Dedup.jaccardSimilarityJoin(d, "id", "s", c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def jac(a: String, b: String): Double = {
+        val sa = a.split(" ").toSet; val sb = b.split(" ").toSet
+        BigDecimal(sa.intersect(sb).size.toDouble / sa.union(sb).size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expect = (for {
+        i <- texts.indices; j <- texts.indices if i < j
+        if jac(texts(i), texts(j)) >= c
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect, s"threshold $c: missing=${expect -- got} extra=${got -- expect}")
+      assert(expect.nonEmpty)
+    }
+  }
+
   test("canonicalizeUrl: case, default ports, fragments, utm params") {
     import spark.implicits._
     val cases = Seq(

@@ -180,6 +180,14 @@ class PlanSpec extends SparkTestBase {
     assert(b.count() > 0)
   }
 
+  test("jwSimilarityJoin plans a hash join on the length bucket, never a cartesian") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, s"name$i")).toDF("id", "s")
+    val plan = executedPlan(graft.ops.Dedup.jwSimilarityJoin(d, "id", "s", 0.9))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "JW join must not go quadratic:\n" + plan.take(800))
+  }
+
   test("JDK codec decodes are shuffle-free narrow scans (image, video, audio)") {
     import graft.ops.Multimodal
     val img = Multimodal.codecImages(spark, 20, "png")
