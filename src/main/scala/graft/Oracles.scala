@@ -102,7 +102,7 @@ object Oracles {
   val qSimJoin: String =
     s"""WITH d AS (SELECT doc_id,
           list_distinct(string_split(text, ' ')) AS toks
-        FROM documents WHERE length(text) > 0),
+        FROM documents WHERE length(text) > 0 AND doc_id % 10 = 0),
         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
             len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard

@@ -443,7 +443,12 @@ object SparkEntry {
     // gated in-engine instead — DuckDB's jaro_winkler disagrees with
     // strsim on transposition counting for some pairs)
     "q_sim_join" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+      // every-10th-doc sample: the synthetic corpus is pathologically
+      // self-similar (24% of ALL pairs clear 0.8 Jaccard — 3M matching
+      // pairs at sf0.1), so the unsampled demo would be a genuinely
+      // quadratic workload by OUTPUT size, not by plan shape
+      val d = t(s, dir, "documents")
+        .filter(length(col("text")) > 0 && col("doc_id") % 10 === 0)
       ops.Dedup.jaccardSimilarityJoin(d, "doc_id", "text", threshold = 0.8)
     }),
     // crawl URL canonicalization: messy urls planted deterministically
