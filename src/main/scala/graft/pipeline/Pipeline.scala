@@ -154,18 +154,27 @@ object Pipeline {
     * lands on one reducer. Edges stay a projection — upstream dedup on
     * (url, subj, pred, obj) already makes edge rows unique, so there is
     * no additional dedup shuffle either way. */
-  /** `transientCaches = true` (for per-micro-batch callers like
-    * StreamIngest.runLinked): the result is materialized eagerly and
-    * the two internal vocabulary-sized caches are RELEASED before
-    * returning — a long-running stream calling the default lazy mode
-    * would leak two persisted tables per micro-batch for the JVM
-    * lifetime (the pageRank leak pattern, review finding r03). */
   def graphFromTriples(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
       broadcastVocabLimit: Long = defaultBroadcastVocabLimit,
       includeProps: Boolean = false,
       broadcastKbLimit: Long = defaultBroadcastKbLimit,
-      kbCountHint: Option[Long] = None,
-      transientCaches: Boolean = false): (DataFrame, DataFrame) = {
+      kbCountHint: Option[Long] = None): (DataFrame, DataFrame) =
+    graphFromTriplesReleasable(trip, kb, broadcastVocabLimit, includeProps,
+      broadcastKbLimit, kbCountHint) match { case (n, e, _) => (n, e) }
+
+  /** Like graphFromTriples, plus a RELEASE handle that unpersists the
+    * two internal vocabulary-sized caches. Per-micro-batch callers
+    * (StreamIngest.runLinked) MUST call it after their terminal action
+    * on the returned frames — a long-running stream on the plain
+    * variant would leak two persisted tables per micro-batch for the
+    * JVM lifetime (the pageRank leak pattern, review finding r03; an
+    * eager-localCheckpoint variant trades the cache leak for a
+    * checkpoint-RDD leak, caught by StreamIngestSpec's leak guard). */
+  def graphFromTriplesReleasable(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
+      broadcastVocabLimit: Long = defaultBroadcastVocabLimit,
+      includeProps: Boolean = false,
+      broadcastKbLimit: Long = defaultBroadcastKbLimit,
+      kbCountHint: Option[Long] = None): (DataFrame, DataFrame, () => Unit) = {
     // ONE big-table rollup: every distinct entity surface with its
     // deterministic representative (type, slug). classify() is a pure
     // function of the surface, so min_by just pins tie order.
@@ -227,15 +236,7 @@ object Pipeline {
     }
 
     val edges = joinBackEdges(trip.toDF, surfaceIri, useBroadcast)
-    if (!transientCaches) (nodes, edges)
-    else {
-      // eager materialization, then release both internal caches
-      val nodesOut = nodes.localCheckpoint(true)
-      val edgesOut = edges.localCheckpoint(true)
-      surfaceIri.unpersist()
-      surfaceInfo.unpersist()
-      (nodesOut, edgesOut)
-    }
+    (nodes, edges, () => { surfaceIri.unpersist(); surfaceInfo.unpersist(); () })
   }
 
   /** JSON-LD document emission (the reference's NATIVE output format:

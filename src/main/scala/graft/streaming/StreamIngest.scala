@@ -136,17 +136,19 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[TripleRow], batchId: Long) =>
         val trip = Kg.dedup(batch)
-        // transientCaches: a stream must not accumulate the graph
-        // build's internal persisted tables across micro-batches
-        val (_, edges) = graft.pipeline.Pipeline.graphFromTriples(
-          trip, kb, kbCountHint = kbCountHint, transientCaches = true)
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        edges.withColumn("batch", lit(batchId))
-          .withColumn("pk", Checkpointed.bucketOf(col("url"), nBuckets))
-          .write.mode("overwrite").partitionBy("batch", "pk")
-          .parquet(s"$outDir/edges")
-        ()
+        // releasable build: the stream must not accumulate the graph
+        // build's internal persisted tables across micro-batches —
+        // release fires after the batch's terminal write
+        val (_, edges, release) = graft.pipeline.Pipeline
+          .graphFromTriplesReleasable(trip, kb, kbCountHint = kbCountHint)
+        try {
+          batch.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          edges.withColumn("batch", lit(batchId))
+            .withColumn("pk", Checkpointed.bucketOf(col("url"), nBuckets))
+            .write.mode("overwrite").partitionBy("batch", "pk")
+            .parquet(s"$outDir/edges")
+        } finally release()
       }
       .start()
   }

@@ -34,6 +34,7 @@ class StreamIngestSpec extends SparkTestBase {
     val work = Files.createTempDirectory("graft_slink").toString
     val pages = Corpus.pages(spark, 120, 4)
     val kb = Corpus.kb(spark, nDistractors = 300)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     // two file drops -> two catch-up runs (two independent link batches)
     pages.limit(60).write.mode("overwrite").parquet(s"$work/pages")
     StreamIngest.runLinked(spark, s"$work/pages", s"$work/out", s"$work/ckpt", kb)
@@ -41,16 +42,25 @@ class StreamIngestSpec extends SparkTestBase {
     pages.write.mode("append").parquet(s"$work/pages")
     StreamIngest.runLinked(spark, s"$work/pages", s"$work/out", s"$work/ckpt", kb)
       .awaitTermination()
+    // release contract FIRST (before this test's own all-at-once
+    // comparison build adds its caches): the per-batch graph builds
+    // must not leave NEW persisted tables behind — a long stream would
+    // accumulate them for the JVM lifetime otherwise
+    val leaked = (spark.sparkContext.getPersistentRDDs -- cachedBefore).values
+      .filter(_.getStorageLevel.useMemory)
+    assert(leaked.isEmpty, s"leaked caches: ${leaked.map(_.name).mkString(", ")}")
     val streamed = spark.read.parquet(s"$work/out/edges").drop("batch", "pk")
-    val (_, batchEdges) = graft.pipeline.Pipeline.graphFromTriples(
-      Kg.pagesToTriples(pages), kb)
+    val (_, batchEdges, releaseRef) = graft.pipeline.Pipeline
+      .graphFromTriplesReleasable(Kg.pagesToTriples(pages), kb)
     // IRI minting/linking is a pure function of (surface, KB), so the
     // per-batch builds must reproduce the all-at-once edges exactly
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select(streamed.columns.sorted.map(col): _*)
         .distinct().collect().map(_.toSeq).sortBy(_.toString).toSeq
-    assert(canon(streamed) == canon(batchEdges))
-    assert(streamed.count() > 0)
+    try {
+      assert(canon(streamed) == canon(batchEdges))
+      assert(streamed.count() > 0)
+    } finally releaseRef()
   }
 
   test("replayed foreachBatch batch is idempotent (at-least-once sink)") {
