@@ -109,6 +109,16 @@ object Oracles {
         FROM d a JOIN d b ON a.doc_id < b.doc_id)
         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.8::DOUBLE"""
 
+  /** Corpus-datasheet oracle: the same per-(lang, source) rollup. */
+  val qCorpusStats: String =
+    s"""SELECT lang, source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          CAST(sum(length(text) // 4) AS BIGINT) AS est_tokens,
+          CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+          CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        FROM documents GROUP BY lang, source"""
+
   /** URL canonicalization oracle: identical planted urls, identical
     * regex spec (lowercase scheme/authority, default-port strip,
     * fragment drop, utm removal + separator cleanup). */
@@ -1215,6 +1225,7 @@ object Oracles {
     "q_pii_redact" -> qPiiRedact,
     "q_url_canonical" -> qUrlCanonical,
     "q_sim_join" -> qSimJoin,
+    "q_corpus_stats" -> qCorpusStats,
     "q_decontaminate" -> qDecontaminate,
     "kg_triples" -> kgTriples,
     "kg_eval_prf" -> kgEvalPrf,

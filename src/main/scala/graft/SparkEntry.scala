@@ -451,6 +451,10 @@ object SparkEntry {
         .filter(length(col("text")) > 0 && col("doc_id") % 10 === 0)
       ops.Dedup.jaccardSimilarityJoin(d, "doc_id", "text", threshold = 0.8)
     }),
+    // corpus datasheet: per-(lang, source) volume/dedup rollup
+    "q_corpus_stats" -> ((s, dir) => {
+      ops.TextAnalysis.corpusStats(t(s, dir, "documents"), "lang", "source", "text")
+    }),
     // crawl URL canonicalization: messy urls planted deterministically
     // (mixed case, default port, utm params, fragment), normalized to
     // the dedup key — same regex spec re-run verbatim by the oracle

@@ -274,6 +274,20 @@ object TextAnalysis {
     min
   }
 
+  /** Corpus datasheet: the per-(lang, source) rollup every training-
+    * data release publishes — document counts, char/estimated-token volumes,
+    * empty-doc counts and exact-distinct text counts (duplication at a
+    * glance). One hash aggregation, map-side partial. */
+  def corpusStats(df: DataFrame, langCol: String, srcCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(col(langCol), col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("n_chars"),
+        sum((length(col(textCol)) / lit(4)).cast("long")).as("est_tokens"),
+        sum(when(length(col(textCol)) === 0, 1L).otherwise(0L)).as("n_empty"),
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"))
+
   /** PII redaction (the C4-style scrub): emails, IPv4 addresses and
     * phone-shaped numbers replaced by typed placeholder tokens, with
     * per-kind match counts. Pure column expressions (regexp_count /
