@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.pipeline._
-import graft.kernel.{Chunker, Slug}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -125,8 +124,8 @@ object SparkEntry {
     Eval.prfDf(predicted, Corpus.gold(spark, n).toDF)
   }
 
-  // --- UDFs shared by oracle queries (kernel functions vs DuckDB SQL) ---
-  private val slugUdf = udf((s: String) => Slug.slug(s))
+  // chunk-count estimate (chunking.rs:89-96 arithmetic) as a UDF — the
+  // one query-side kernel function without a Column/Expression form
   private val chunkCountUdf = udf((n: Long) =>
     if (n <= 3500L) 1L else (n + 3100L - 1L) / 3100L)
 
