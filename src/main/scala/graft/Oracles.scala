@@ -109,6 +109,25 @@ object Oracles {
         FROM d a JOIN d b ON a.doc_id < b.doc_id)
         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.8::DOUBLE"""
 
+  /** Contains-constrained JW join oracle: BRUTE-FORCE cross join with
+    * the contains predicate — exact truth for the blocked engine plan
+    * because the planted fixed-width names make every containment
+    * token-aligned. DuckDB's jaro_winkler_similarity matches the
+    * kernel on contains-constrained pairs (toolbox note). */
+  val qSimJoinJw: String =
+    s"""WITH n AS (SELECT c_custkey AS id,
+          CASE WHEN c_custkey % 3 = 0
+                 THEN 'acme systems ' || lpad(CAST(c_custkey % 200 AS VARCHAR), 3, '0')
+               WHEN c_custkey % 3 = 1
+                 THEN 'acme systems ' || lpad(CAST(c_custkey % 200 AS VARCHAR), 3, '0') || ' incorporated'
+               ELSE 'zenith labs ' || lpad(CAST(c_custkey % 200 AS VARCHAR), 3, '0') END AS name
+          FROM customer),
+        p AS (SELECT a.id AS id1, b.id AS id2,
+            round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+          FROM n a JOIN n b ON a.id < b.id
+           AND (contains(a.name, b.name) OR contains(b.name, a.name)))
+        SELECT id1, id2, jw FROM p WHERE jw >= 0.9::DOUBLE"""
+
   /** Corpus-datasheet oracle: the same per-(lang, source) rollup. */
   val qCorpusStats: String =
     s"""SELECT lang, source,
@@ -1225,6 +1244,7 @@ object Oracles {
     "q_pii_redact" -> qPiiRedact,
     "q_url_canonical" -> qUrlCanonical,
     "q_sim_join" -> qSimJoin,
+    "q_sim_join_jw" -> qSimJoinJw,
     "q_corpus_stats" -> qCorpusStats,
     "q_decontaminate" -> qDecontaminate,
     "kg_triples" -> kgTriples,

@@ -8,9 +8,12 @@ import graft.pipeline._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Naming convention: `kg_*` = the KG-construction pipeline over the
-  * synthesized page corpus (FIXTURES.md §B2; no SQL oracle — gated by
-  * ScalaTest P/R instead); `q_*` = relational/text operators over the
-  * driver-provided parquet tables with DuckDB oracles.
+  * synthesized page corpus (FIXTURES.md §B2); `q_*` = relational/text
+  * operators over the driver-provided parquet tables. EVERY query —
+  * kg_* and q_* alike — carries a DuckDB oracle in `oracleSql`
+  * (kg_* oracles re-derive the pipeline stages in SQL over the
+  * kernel-intermediate parquet Verify dumps to `<outDir>__inputs`,
+  * referenced via the {OUT} placeholder).
   */
 object SparkEntry {
 
@@ -450,6 +453,21 @@ object SparkEntry {
         .filter(length(col("text")) > 0 && col("doc_id") % 10 === 0)
       ops.Dedup.jaccardSimilarityJoin(d, "doc_id", "text", threshold = 0.8)
     }),
+    // contains-constrained JW self-join (the fuzzy-linking regime) —
+    // the variant WITH a cross-engine oracle: DuckDB's jaro_winkler
+    // agrees with the kernel on contains pairs (VERDICT r04 ask #3).
+    // Names are planted with FIXED-WIDTH numerals so every true
+    // containment is token-aligned (the blocking's completeness
+    // regime) and the brute-force SQL oracle is exact truth.
+    "q_sim_join_jw" -> ((s, dir) => {
+      val k = lpad((col("c_custkey") % 200).cast("string"), 3, "0")
+      val named = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 3 === 0, concat(lit("acme systems "), k))
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("acme systems "), k, lit(" incorporated")))
+          .otherwise(concat(lit("zenith labs "), k)).as("name"))
+      ops.Dedup.jwContainsJoin(named, "id", "name", threshold = 0.9)
+    }),
     // corpus datasheet: per-(lang, source) volume/dedup rollup
     "q_corpus_stats" -> ((s, dir) => {
       ops.TextAnalysis.corpusStats(t(s, dir, "documents"), "lang", "source", "text")
@@ -659,7 +677,10 @@ object SparkEntry {
           .as[(String, Array[Byte])]
           .map { case (url, html) =>
             val text = graft.kernel.HtmlText.extract(html)
-            (url, text.length.toLong, text)
+            // code POINTS, matching DuckDB length() — String.length is
+            // UTF-16 units and diverges on supplementary-plane chars
+            // (ADVICE r04; the corpus is BMP-only today, belt+braces)
+            (url, text.codePointCount(0, text.length).toLong, text)
           }
           .toDF("url", "n_chars", "text")
           .select(col("url"), col("n_chars"), md5(col("text")).as("text_md5"))

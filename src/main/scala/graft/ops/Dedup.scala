@@ -233,9 +233,27 @@ object Dedup {
     * branches (a multi-branch lazy lineage re-runs the signature pass
     * per branch — ADVICE r03), and returned as the third element so the
     * append step (`lshIndexAppendBuckets`) reuses them instead of
-    * re-signing a third time. */
+    * re-signing a third time.
+    *
+    * One checkpoint RDD is retained per call (batch-bucket-sized);
+    * LONG-RUNNING per-batch callers must use `lshIndexProbeReleasable`
+    * and fire the release after their terminal action, or the
+    * checkpoints accumulate for the JVM lifetime (ADVICE r04). */
   def lshIndexProbe(newDocs: DataFrame, idCol: String, textCol: String, dir: String,
       n: Int = 3, k: Int = 32, bands: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+    val (cross, intra, fresh, _) =
+      lshIndexProbeReleasable(newDocs, idCol, textCol, dir, n, k, bands)
+    (cross, intra, fresh)
+  }
+
+  /** `lshIndexProbe` plus a RELEASE handle that unpersists the batch's
+    * bucket checkpoint. Call it AFTER the terminal action on all three
+    * returned frames (including the `lshIndexAppendBuckets` write) —
+    * the per-micro-batch recrawl-dedup loop must release per batch
+    * (graphFromTriplesReleasable is the sibling pattern). */
+  def lshIndexProbeReleasable(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String, n: Int = 3, k: Int = 32, bands: Int = 8)
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     val spark = newDocs.sparkSession
     val fresh = lshBuckets(newDocs, idCol, textCol, n, k, bands).localCheckpoint(true)
     val idx = spark.read.parquet(dir)
@@ -249,7 +267,8 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    (cross, intra, fresh)
+    (cross, intra, fresh,
+      () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(fresh); () })
   }
 
   /** Append a probed batch's ALREADY-SIGNED buckets (lshIndexProbe's
@@ -407,6 +426,49 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jw"))
   }
 
+  /** Contains-constrained Jaro-Winkler similarity self-join — the
+    * fuzzy-LINKING regime (kg_links): a pair qualifies when one string
+    * CONTAINS the other and JW ≥ threshold. This is also the regime
+    * where DuckDB's jaro_winkler_similarity agrees with the kernel
+    * (its transposition-count divergence from strsim never manifests
+    * on contains-constrained pairs — the repo's verified toolbox
+    * note), so unlike jwSimilarityJoin this variant DOES carry a
+    * cross-engine oracle (q_sim_join_jw).
+    *
+    * Blocking is prefix filtering (the AllPairs/PPJoin idea, Bayardo
+    * et al. 2007): each row probes with its globally RAREST distinct
+    * token (deterministic min (count, token)); the container side
+    * explodes ALL its distinct tokens. Token-aligned containment
+    * implies every token of the contained string is a token of the
+    * container, so rarest-token equality is recall-complete for
+    * token-aligned pairs (non-token-aligned containment is the same
+    * documented miss class as Linking.fuzzy's first-token block).
+    * Probing on the RAREST token — not the first — is what keeps a
+    * Zipfian stopword from turning the block join quadratic: the hot
+    * token is only ever a block key for rows where it is the rarest
+    * one they have. Returns (id1 < id2, jw rounded 4). */
+  def jwContainsJoin(df: DataFrame, idCol: String, strCol: String,
+      threshold: Double): DataFrame = {
+    val rows = df.select(col(idCol), col(strCol),
+      array_distinct(split(col(strCol), " ")).as("toks"))
+    val exploded = rows.select(col(idCol), col(strCol), explode(col("toks")).as("tok"))
+    val tokCounts = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val probe = exploded.join(tokCounts, Seq("tok"))
+      .groupBy(col(idCol), col(strCol))
+      .agg(min(struct(col("cnt"), col("tok"))).as("m"))
+      .select(col("m.tok").as("tok"), col(idCol).as("ida"), col(strCol).as("sa"))
+    val container = exploded
+      .select(col("tok"), col(idCol).as("idb"), col(strCol).as("sb"))
+    probe.join(container, Seq("tok"))
+      .filter(col("ida") =!= col("idb") && col("sb").contains(col("sa")))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"),
+        round(graft.functions.JaroWinklerExpression.jaroWinkler(col("sa"), col("sb")), 4)
+          .as("jw"))
+      .filter(col("jw") >= threshold)
+      .distinct()
+  }
+
   /** Scalable token-set Jaccard similarity self-join, same pruning
     * idea with an even simpler bound: J = |A∩B|/|A∪B| ≤ min/max of the
     * set SIZES, so J ≥ c ⟹ size ratio ≥ c — rows bucket by
@@ -505,8 +567,18 @@ object Dedup {
     * distinct same-chunk pair with its exact Hamming distance
     * (callers threshold as needed; no silent filtering here). Scale
     * shape mirrors MinHash LSH: the only shuffle is the (band, key)
-    * bucket join — never all pairs. */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * bucket join — never all pairs.
+    *
+    * One signature-table checkpoint RDD is retained per call;
+    * per-batch loop callers must use `simhashCandidatesReleasable`
+    * (ADVICE r04 — same leak class as lshIndexProbe). */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashCandidatesReleasable(df, idCol, textCol)._1
+
+  /** `simhashCandidates` plus a RELEASE handle for the signature
+    * checkpoint — fire it after the terminal action on the pairs. */
+  def simhashCandidatesReleasable(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, () => Unit) = {
     // the banded lineage feeds BOTH sides of the self-join; the
     // signature pass is a cheap one-pass kernel by design (and Spark's
     // exchange reuse usually collapses the identical subplans), but the
@@ -523,11 +595,13 @@ object Dedup {
       col(idCol).as("id1"), col("simhash").as("s1"))
     val b = banded.select(col("band"), col("key"),
       col(idCol).as("id2"), col("simhash").as("s2"))
-    a.join(b, Seq("band", "key"))
+    val pairs = a.join(b, Seq("band", "key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
       .distinct()
+    (pairs,
+      () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(sigs); () })
   }
 
   /** SimHash signatures for a whole table, kernel form (the production

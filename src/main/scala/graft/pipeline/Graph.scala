@@ -79,9 +79,11 @@ object Graph {
     * edges the exact same recursion runs on the driver in milliseconds
     * (deliberate, documented collect; result-identity tested in
     * GraphSpec). Double-sum order differs between tiers only at the
-    * ~1e-19 absolute level — round(6) absorbs it. */
+    * ~1e-19 absolute level — round(6) absorbs it. The 1M default keeps
+    * the collected String-pair array well under ~200 MB of driver heap
+    * even for long IRIs (this VM's ≤16g heap rule). */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-      driverEdgeLimit: Long = 5000000L, assumeDistinct: Boolean = false): DataFrame = {
+      driverEdgeLimit: Long = 1000000L, assumeDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = distinctEdges(edges, assumeDistinct)
@@ -139,30 +141,99 @@ object Graph {
   /** Per-node triangle counts over the UNDIRECTED distinct entity
     * graph — the clustering signal KG-quality audits use (dense
     * triangle neighborhoods ≈ coherent entity clusters; triangle-free
-    * stars ≈ hub spam). Standard two-join count on canonically ordered
-    * (a < b) edges, so each triangle is materialized exactly once as
-    * a < b < c and contributes 1 to each corner. Scale shape: the
-    * first join is keyed on the shared vertex, the second is the
-    * closing-edge hash probe — both plain equi-joins Catalyst plans as
-    * hash joins; the classic degree-ordered optimization drops in by
-    * replacing the canonical order with a (degree, iri) order when
-    * skew demands it. Returns (iri, n_triangles), nodes in ≥1 triangle. */
-  def triangleCounts(edges: DataFrame, assumeDistinct: Boolean = false): DataFrame = {
+    * stars ≈ hub spam). Returns (iri, n_triangles), nodes in ≥1
+    * triangle.
+    *
+    * SIZE-TIERED like pageRank/connectedComponents: under
+    * `driverEdgeLimit` distinct undirected edges the count runs as an
+    * exact forward-adjacency intersection on the driver (the
+    * vocabulary-sized graphs this corpus produces cost ~7 s of fixed
+    * multi-stage Spark overhead in the distributed plan vs
+    * milliseconds here; deliberate, documented collect, tier identity
+    * tested in GraphOpsSpec). Above the limit, the classic two-join
+    * count — with edges oriented by (degree, iri) RANK rather than
+    * lexicographic order, so the e1.b === e2.a join key is always the
+    * HIGHER-degree endpoint's lower-ranked partner: a Zipfian hub of
+    * degree d contributes its d edges pointing TOWARD it (hub is the
+    * ranked-larger endpoint), never d² join fan-out on the hub key.
+    * Both tiers enumerate each triangle exactly once. */
+  def triangleCounts(edges: DataFrame, driverEdgeLimit: Long = 1000000L,
+      assumeDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = distinctEdges(edges, assumeDistinct)
+    val und0 = distinctEdges(edges, assumeDistinct)
       .select(least(col("src_iri"), col("dst_iri")).as("a"),
         greatest(col("src_iri"), col("dst_iri")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("iri"))
+    val und = und0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = und.count()
+    if (nEdges <= driverEdgeLimit) {
+      // driver tier: rank nodes by (degree, iri); forward adjacency
+      // A(v) = higher-ranked neighbors; |A(u) ∩ A(v)| per edge (u,v)
+      // enumerates each triangle once at its lowest-ranked corner.
+      val pairs = und.as[(String, String)].collect()
+      und.unpersist()
+      val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+      val es = pairs.map { case (a, b) => (id(a), id(b)) }
+      val n = idx.size
+      val names = idx.keys.toArray
+      val deg = new Array[Int](n)
+      es.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+      // rank = position in (degree, iri) order
+      val rank = new Array[Int](n)
+      val order = (0 until n).sortBy(v => (deg(v), names(v)))
+      order.zipWithIndex.foreach { case (v, r) => rank(v) = r }
+      val fwd = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      es.foreach { case (u, v) =>
+        if (rank(u) < rank(v)) fwd(u) += v else fwd(v) += u
+      }
+      val fwdSet = fwd.map(buf => buf.toSet)
+      val tri = new Array[Long](n)
+      es.foreach { case (u, v) =>
+        val (lo, hi) = if (rank(u) < rank(v)) (u, v) else (v, u)
+        // iterate the smaller forward list, probe the other's set
+        val (it, set) =
+          if (fwd(lo).size <= fwd(hi).size) (fwd(lo), fwdSet(hi))
+          else (fwd(hi), fwdSet(lo))
+        it.foreach { w =>
+          if (set.contains(w)) { tri(lo) += 1; tri(hi) += 1; tri(w) += 1 }
+        }
+      }
+      return spark.createDataset(
+        (0 until n).filter(tri(_) > 0L).map(v => (names(v), tri(v))))
+        .toDF("iri", "n_triangles")
+    }
+    // distributed tier: orient each edge lo→hi by (degree, iri) rank
+    val degT = und.select(explode(array(col("a"), col("b"))).as("iri"))
+      .groupBy(col("iri")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(degT.select(col("iri").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(degT.select(col("iri").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(
+        when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+      // eager: the self-join below references this table three times —
+      // without a materialization each branch would re-pay the two
+      // degree joins (the multi-branch recompute trap, CLAUDE.md)
+      .localCheckpoint(true)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val out = tri.select(explode(array(col("x"), col("y"), col("z"))).as("iri"))
       .groupBy(col("iri"))
       .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    // out is materialized — the edge-sized oriented checkpoint can be
+    // RELEASED (Dataset.unpersist would not touch a checkpoint RDD)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(oriented)
+    und.unpersist()
+    out
   }
 
   /** SPARQL-style basic graph pattern (BGP) over the edge table — the

@@ -102,6 +102,10 @@ object Warc {
           line = readLine()
         }
         require(len >= 0, "missing Content-Length")
+        // fail loud on truncation — copyOfRange would silently
+        // zero-pad a body that runs past the record (ADVICE r04)
+        require(pos + len <= bytes.length,
+          s"truncated WARC record: body wants ${len}B at $pos of ${bytes.length}")
         val body = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
         pos += len
         (url, date, body)

@@ -155,6 +155,32 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("jwContainsJoin == brute-force contains join on token-aligned names") {
+    import spark.implicits._
+    // same planted family as q_sim_join_jw: fixed-width numerals keep
+    // every true containment token-aligned (the blocking's regime)
+    val names = (0 until 60).map { i =>
+      val k = f"${i % 10}%03d"
+      (i % 3) match {
+        case 0 => s"acme systems $k"
+        case 1 => s"acme systems $k incorporated"
+        case _ => s"zenith labs $k"
+      }
+    }
+    val d = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    val got = Dedup.jwContainsJoin(d, "id", "name", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = (for {
+      i <- names.indices; j <- names.indices if i < j
+      if names(i).contains(names(j)) || names(j).contains(names(i))
+      jw = BigDecimal(graft.kernel.Jaro.jaroWinkler(names(i), names(j)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jw >= 0.9
+    } yield (i.toLong, j.toLong, jw)).toSet
+    assert(expect.nonEmpty, "fixture must produce matches")
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("jaccardSimilarityJoin == brute-force cross join (size pruning is sound)") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

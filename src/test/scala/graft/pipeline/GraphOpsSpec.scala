@@ -78,6 +78,26 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L), got.toString)
   }
 
+  test("triangleCounts: driver tier == distributed degree-ordered tier") {
+    // hub-skewed topology: hub h touches every spoke (Zipfian shape),
+    // spokes close some triangles among themselves, plus a separate K4
+    val spokes = (1 to 12).map(i => s"s$i")
+    val hubEdges = spokes.map(s => ("h", s))
+    val spokeRing = spokes.zip(spokes.tail ++ Seq(spokes.head)) // closes 12 h-triangles
+    val k4 = Seq(("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+      ("k2", "k3"), ("k2", "k4"), ("k3", "k4"))
+    val e = edges(hubEdges ++ spokeRing ++ k4)
+    val driver = Graph.triangleCounts(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driverEdgeLimit = 0 forces the distributed (degree, iri)-ordered plan
+    val dist = Graph.triangleCounts(e, driverEdgeLimit = 0L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    // spot-check exact counts: hub sits in all 12 ring triangles;
+    // each K4 vertex is in C(3,2)=3 triangles
+    assert(driver("h") == 12L && driver("k1") == 3L && driver("s1") == 2L)
+  }
+
   test("pageRank: driver tier == distributed tier (size-tier identity)") {
     // mixed topology: hub, chain, cycle, dangling sink
     val e = edges(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
