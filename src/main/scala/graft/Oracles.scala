@@ -1082,6 +1082,37 @@ object Oracles {
                 WHERE t.obj_is_entity),
         ge AS (SELECT DISTINCT src_iri, dst_iri FROM gem)"""
 
+  /** Streaming-parity oracle: the BATCH edge derivation (the same
+    * lineage kg_nodes_edges/kg_degrees already prove) restricted to
+    * the streamed corpus slice (url id % 5 == 0) — the streamed union
+    * of per-micro-batch edge builds must equal it row-for-row. The
+    * surface→IRI map is a pure function of (surface, KB), which is
+    * exactly why per-batch linking composes to the batch answer. */
+  val kgStreamParity: String =
+    s"""WITH t0 AS (SELECT * FROM ${inp("triples")}),
+        t AS (SELECT * FROM t0
+              WHERE CAST(regexp_extract(url, '-([0-9]+)$$', 1) AS BIGINT) % 5 = 0),
+        links AS (SELECT surface, uri FROM ${out("kg_links")}),
+        surfaces AS (SELECT surface, slug FROM (
+          SELECT surface, slug,
+            row_number() OVER (PARTITION BY surface ORDER BY entity_type, slug) AS rn
+          FROM (SELECT subj_surface AS surface, subj_type AS entity_type, subj AS slug FROM t
+                UNION ALL
+                SELECT obj, obj_type, obj_slug FROM t WHERE obj_is_entity))
+          WHERE rn = 1),
+        si AS (SELECT s.surface,
+                 coalesce(l.uri, 'https://kg.local/e/' || s.slug || '-' ||
+                   substr(md5(s.surface), 1, 8)) AS iri
+               FROM surfaces s LEFT JOIN links l USING (surface))
+        SELECT ss.iri AS src_iri, t.pred,
+          CASE WHEN t.obj_is_entity THEN so.iri END AS dst_iri,
+          CASE WHEN NOT t.obj_is_entity THEN t.obj END AS obj_literal,
+          NOT t.obj_is_entity AS is_literal,
+          t.url, t.confidence, t.chunk_id, t.span_start, t.span_end, t.source_text
+        FROM t
+        JOIN si ss ON t.subj_surface = ss.surface
+        LEFT JOIN si so ON t.obj = so.surface"""
+
   val kgDegrees: String =
     s"""WITH $graphEdgeCtes,
         o AS (SELECT src_iri AS iri, CAST(count(*) AS BIGINT) AS out_deg
@@ -1259,6 +1290,7 @@ object Oracles {
     "kg_retry_feedback" -> kgRetryFeedback,
     "kg_warc_ingest" -> kgWarcIngest,
     "kg_windowed_counts" -> kgWindowedCounts,
+    "kg_stream_parity" -> kgStreamParity,
     "kg_docred_denorm" -> kgDocredDenorm,
     "kg_docred_cross_sentence" -> kgDocredCrossSentence,
     "docred_real_denorm" -> docredRealDenorm,

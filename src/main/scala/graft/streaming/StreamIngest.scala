@@ -125,10 +125,16 @@ object StreamIngest {
     * (batch, pk) dynamic-overwrite idempotence contract of `run`. */
   def runLinked(spark: SparkSession, pagesDir: String, outDir: String,
       checkpointDir: String, kb: Dataset[graft.pipeline.KbEntry],
-      kbCountHint: Option[Long] = None, nBuckets: Int = 16): StreamingQuery = {
+      kbCountHint: Option[Long] = None, nBuckets: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    val pages = spark.readStream
+    val reader = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[Page]].schema)
+    // bound files per micro-batch so AvailableNow genuinely exercises
+    // the MULTI-batch path (kg_stream_parity's setup) instead of
+    // swallowing the whole backlog in one batch
+    val pages = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
       .parquet(pagesDir)
       .as[Page]
     transform(pages).writeStream
