@@ -595,6 +595,23 @@ object Oracles {
           round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
         FROM m"""
 
+  /** MJPEG-AVI oracle: container fields, sampled-frame set and the
+    * usPerFrame timeline re-derived from the id formulas (exact);
+    * frame pixels are JPEG-lossy, so the decode is pinned by the
+    * error-bound booleans the engine computes (oracle expects true —
+    * a broken RIFF walk or JPEG path flips them and hash-mismatches). */
+  val qMultimodalAvi: String =
+    s"""WITH v AS (SELECT img_id AS video_id, 16 + 8 * (img_id % 3) AS w,
+          16 + 8 * (img_id % 2) AS h, 3 + img_id % 4 AS nf,
+          40000 + 20000 * (img_id % 3) AS us FROM ${inp("bmp_ids")}),
+        fr AS (SELECT video_id, w, h, nf, us, uf.f AS f
+               FROM v, unnest(range(0, nf, 2)) AS uf(f))
+        SELECT video_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(f * us AS BIGINT) AS ts_us,
+          true AS r_ok, true AS g_ok, true AS b_ok
+        FROM fr"""
+
   /** WAV decode oracle: container fields + exact integer sample sums
     * re-derived from the formula s_i = ((i·37 + id·101) % 4096) − 2048. */
   val qMultimodalWav: String =
@@ -1269,6 +1286,7 @@ object Oracles {
     "q_multimodal_jpeg" -> qMultimodalJpeg,
     "q_multimodal_wav" -> qMultimodalWav,
     "q_multimodal_video" -> qMultimodalVideo,
+    "q_multimodal_avi" -> qMultimodalAvi,
     "q_text_tokens" -> qTextTokens,
     "q_text_embed" -> qTextEmbed,
     "q_sample_mix" -> qSampleMix,

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   *    WAV PCM via `javax.sound.sampled` — both ship in the JDK's own
   *    `java.desktop` module, zero external jars (the earlier "no codec
   *    libraries in this container" premise was wrong — VERDICT r03);
-  *  - STUB: video containers (`fakeVideo`) — the one genuinely absent
-  *    codec (no ffmpeg/javacv here); the frame-sampling PLAN over the
-  *    parsed metadata is real and oracle-checked, the frame pixel
-  *    fetch is the single seam to swap on a real cluster.
+  *  - REAL, hand-parsed containers + JDK codecs: animated GIF and
+  *    MJPEG-in-AVI video (RIFF chunk grammar below, frames JPEG-decoded)
+  *    — frame counts, timelines and pixel decode all oracle-checked;
+  *  - STUB: INTERFRAME video codecs only (`fakeVideo` — H.264 etc.;
+  *    no ffmpeg/javacv here, verified absent); the frame-sampling PLAN
+  *    over the parsed metadata is real and oracle-checked, the frame
+  *    pixel fetch is the single seam to swap on a real cluster.
   */
 object Multimodal {
 
@@ -488,6 +491,159 @@ object Multimodal {
       })
       .toDF("video_id", "frame_idx", "n_frames", "width", "height",
         "ts_cs", "mean_r", "mean_g", "mean_b")
+  }
+
+  // ---- REAL video container #2: MJPEG-in-AVI, pure JDK ----
+  // The RIFF/AVI container is a hand-parseable chunk grammar (the same
+  // skill as the BMP and WARC parsers) and every MJPEG frame is a plain
+  // JPEG the JDK already decodes — so a second REAL video format with a
+  // genuinely compressed per-frame codec (DCT), written and read with
+  // zero external jars. After this, the remaining video seam is exactly
+  // "patent-encumbered INTERFRAME codecs" (H.264 etc. — no ffmpeg
+  // here), modeled by the fakeVideo metadata tier below.
+  // Layout (all little-endian; RIFF/AVI per the public MS format docs):
+  //   RIFF('AVI ') { LIST('hdrl'){ avih, LIST('strl'){ strh, strf } },
+  //                  LIST('movi'){ '00dc' <jpeg> ... }, 'idx1' }
+
+  final case class AviVideo(width: Int, height: Int, usPerFrame: Int,
+      frames: Array[BmpPixels])
+
+  /** Encode formula frames as an MJPEG AVI: each frame a real JPEG
+    * ('00dc' chunk), avih/strh timing = usPerFrame (dwScale over
+    * dwRate=1e6), plus a keyframe idx1 index. */
+  def encodeAviMjpeg(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[(Int, Int) => (Int, Int, Int)]): Array[Byte] = {
+    val jpegs = frames.map(rgb => encodeJdk(width, height, "jpg", rgb))
+    def le(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val maxJpeg = jpegs.map(_.length).max
+    val avih = Array.concat(le(usPerFrame), le(0), le(0), le(0x10) /*HASINDEX*/,
+      le(jpegs.length), le(0), le(1), le(maxJpeg), le(width), le(height),
+      le(0), le(0), le(0), le(0))
+    val strh = Array.concat(cc("vids"), cc("MJPG"), le(0), le16(0), le16(0),
+      le(0), le(usPerFrame) /*dwScale*/, le(1000000) /*dwRate*/, le(0),
+      le(jpegs.length), le(maxJpeg), le(-1) /*quality: default*/, le(0),
+      le16(0), le16(0), le16(width), le16(height))
+    val strf = Array.concat(le(40), le(width), le(height), le16(1), le16(24),
+      cc("MJPG"), le(width * height * 3), le(0), le(0), le(0), le(0))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      Array.concat(cc(id), le(body.length), body, pad)
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      Array.concat(cc("LIST"), le(body.length + 4), cc(listType), body)
+    val strl = list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))
+    val hdrl = list("hdrl", Array.concat(chunk("avih", avih), strl))
+    // movi body + idx1 (offsets relative to the 'movi' fourcc)
+    val moviChunks = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    val idxEntries = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    var off = 4 // first chunk starts right after the 'movi' fourcc
+    jpegs.foreach { j =>
+      val c = chunk("00dc", j)
+      moviChunks += c
+      idxEntries += Array.concat(cc("00dc"), le(0x10) /*KEYFRAME*/, le(off), le(j.length))
+      off += c.length
+    }
+    val movi = list("movi", Array.concat(moviChunks.toSeq: _*))
+    val idx1 = chunk("idx1", Array.concat(idxEntries.toSeq: _*))
+    val body = Array.concat(cc("AVI "), hdrl, movi, idx1)
+    Array.concat(cc("RIFF"), le(body.length), body)
+  }
+
+  /** REAL MJPEG-AVI decode: hand-walk the RIFF chunk grammar (avih for
+    * timing/dims/frame count, LIST movi for the '00dc' frames), then
+    * decode every frame's JPEG via the JDK. Fails loudly on truncated
+    * or malformed containers (the WARC parser's contract). */
+  def decodeAviMjpeg(bytes: Array[Byte]): AviVideo = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(): String = {
+      val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+    }
+    require(cc() == "RIFF", "not a RIFF file")
+    val riffSize = b.getInt()
+    require(8 + riffSize <= bytes.length, "truncated RIFF container")
+    require(cc() == "AVI ", "not an AVI")
+    var usPerFrame = 0; var width = 0; var height = 0; var total = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(end: Int): Unit = while (b.position() < end) {
+      val id = cc()
+      val sz = b.getInt()
+      val start = b.position()
+      require(start + sz <= end, s"truncated chunk $id")
+      id match {
+        case "LIST" =>
+          val listType = cc()
+          if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            walk(start + sz)
+        case "avih" =>
+          usPerFrame = b.getInt()
+          b.position(start + 16); total = b.getInt()
+          b.position(start + 32); width = b.getInt(); height = b.getInt()
+        case "00dc" =>
+          val a = new Array[Byte](sz); b.get(a); frames += a
+        case _ => () // strh/strf/idx1/junk: skipped (avih carries what we read)
+      }
+      b.position(start + sz + (sz % 2)) // chunks pad to even
+    }
+    walk(8 + riffSize)
+    require(total == frames.length,
+      s"avih dwTotalFrames $total != ${frames.length} movi frames")
+    AviVideo(width, height, usPerFrame, frames.map(decodeJdk).toArray)
+  }
+
+  /** Deterministic MJPEG-AVI corpus: video id has w = 16 + 8·(id%3),
+    * h = 16 + 8·(id%2) (block-aligned, DCT exercised), nFrames =
+    * 3 + id%4, usPerFrame = 40000 + 20000·(id%3), formulaRgbFrame
+    * pixels. */
+  def aviVideos(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val w = (16 + 8 * (id % 3)).toInt
+      val h = (16 + 8 * (id % 2)).toInt
+      val nf = (3 + id % 4).toInt
+      val us = (40000 + 20000 * (id % 3)).toInt
+      (id, encodeAviMjpeg(w, h, us, (0 until nf).map(f => formulaRgbFrame(id, f))))
+    }.toDF("video_id", "avi")
+  }
+
+  /** REAL AVI frame sampling: container parse → every stride-th frame
+    * JPEG-decoded; emits exact container fields (dims, frame count,
+    * ts_us = frame·usPerFrame timeline) plus per-channel
+    * mean-error-bounded booleans vs the frame formula (the JPEG-lossy
+    * oracle shape of jpegDecodeCheck). One narrow mapPartitions pass. */
+  def aviFrameSample(df: DataFrame, stride: Int, tol: Double = 3.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("video_id").cast("long"), col("avi"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val v = decodeAviMjpeg(bytes)
+        (0 until v.frames.length by stride).iterator.map { f =>
+          val d = v.frames(f)
+          val (mr, mg, mb) = channelMeans(d)
+          val frm = formulaRgbFrame(id, f)
+          var fr = 0.0; var fg = 0.0; var fb = 0.0
+          var y = 0
+          while (y < d.height) {
+            var x = 0
+            while (x < d.width) {
+              val (r, g, bl) = frm(x, y); fr += r; fg += g; fb += bl; x += 1
+            }
+            y += 1
+          }
+          val n = (d.width * d.height).toDouble
+          (id, f, v.frames.length, v.width, v.height, f.toLong * v.usPerFrame,
+            math.abs(mr - fr / n) < tol,
+            math.abs(mg - fg / n) < tol,
+            math.abs(mb - fb / n) < tol)
+        }
+      })
+      .toDF("video_id", "frame_idx", "n_frames", "width", "height", "ts_us",
+        "r_ok", "g_ok", "b_ok")
   }
 
   // ---- REAL audio codec via the JDK (javax.sound.sampled): WAV PCM ----

@@ -344,6 +344,44 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("MJPEG-AVI container: RIFF walk exact, frames JPEG-decode within bound") {
+    var worst = 0.0
+    for (id <- Seq(0L, 1L, 2L, 5L, 11L)) {
+      val w = (16 + 8 * (id % 3)).toInt
+      val h = (16 + 8 * (id % 2)).toInt
+      val nf = (3 + id % 4).toInt
+      val us = (40000 + 20000 * (id % 3)).toInt
+      val bytes = Multimodal.encodeAviMjpeg(w, h, us,
+        (0 until nf).map(f => Multimodal.formulaRgbFrame(id, f)))
+      val v = Multimodal.decodeAviMjpeg(bytes)
+      assert(v.width == w && v.height == h, s"dims id=$id")
+      assert(v.frames.length == nf, s"frame count id=$id")
+      assert(v.usPerFrame == us, s"timing id=$id")
+      for (f <- 0 until nf) {
+        assert(v.frames(f).width == w && v.frames(f).height == h,
+          s"frame dims id=$id f=$f")
+        // JPEG is lossy: channel MEANS must stay within the q_multimodal
+        // tolerance (same bound the oracle booleans use)
+        val rgb = Multimodal.formulaRgbFrame(id, f)
+        var fr = 0.0; var fg = 0.0; var fb = 0.0
+        var dr = 0.0; var dg = 0.0; var db = 0.0
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = rgb(x, y); fr += r; fg += g; fb += b
+          val p = v.frames(f).pixels(y * w + x)
+          dr += (p >> 16) & 0xff; dg += (p >> 8) & 0xff; db += p & 0xff
+        }
+        val n = (w * h).toDouble
+        val err = Seq(math.abs(dr - fr), math.abs(dg - fg), math.abs(db - fb)).max / n
+        worst = math.max(worst, err)
+      }
+      // truncation fails loudly (the WARC contract)
+      intercept[IllegalArgumentException] {
+        Multimodal.decodeAviMjpeg(bytes.take(bytes.length - 7))
+      }
+    }
+    assert(worst < 3.0, s"JPEG mean error $worst exceeds the oracle tolerance")
+  }
+
   test("real BMP codec: encode∘decode == id, padding and row order exact") {
     // 3x2 image with distinct per-pixel values; width 3 forces row padding
     val px = Map(
