@@ -112,6 +112,22 @@ object SparkEntry {
     checkpointed(s, s"pages_ts_${pagesFor(dir)}")(
       Corpus.pages(s, pagesFor(dir)).toDF.select(col("url"), col("warc_ts")))
 
+  /** Force every SHARED per-JVM artifact (the extract-once checkpoints
+    * and the memoized IVF codebook reused across many queries) so
+    * per-query bench numbers measure the QUERY, not whichever query
+    * happens to first-touch a shared build (VERDICT r04 #6 — e.g.
+    * kg_retry_feedback was charged ~3.5 s of triples-checkpoint build
+    * when it ran first). Bench times this as its own named step. */
+  def warmupSharedCheckpoints(s: SparkSession, dir: String): Unit = {
+    triplesFor(s, dir).count()
+    resolvedFor(s, dir).count()
+    edgesFor(s, dir).count()
+    distinctEdgesFor(s, dir).count()
+    pagesTsFor(s, dir).count()
+    ivfCentroidsFor(s, dir)
+    ()
+  }
+
   /** Reference WebNLG fixtures (read-only test DATA, cited; the eid/
     * mtriple/text structure is the public WebNLG corpus format). The
     * glob reads BOTH corpora (astronaut 72 + airport 301 entries) —
