@@ -455,6 +455,34 @@ object Oracles {
           FROM tkf t JOIN dfq q USING (token) CROSS JOIN cnt)
         WHERE rank <= 5"""
 
+  /** Bigram-LM score oracle: the same add-one-smoothed model re-trained
+    * in SQL (bigram/context counts + vocabulary size), docs re-scored
+    * by mean ln P — Spark's log and DuckDB's ln may differ by an ulp
+    * per term, absorbed by round(4) on the mean (the q_tfidf
+    * precedent). */
+  val qLmScore: String =
+    s"""WITH d AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        FROM documents WHERE length(text) > 0),
+        d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+        ex AS (SELECT doc_id,
+            (CASE WHEN u.i = 1 THEN '<s>' ELSE toks[u.i - 1] END)
+              || ' ' || toks[u.i] AS bg
+          FROM d2, unnest(range(1, len(toks) + 1)) AS u(i)),
+        bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM ex GROUP BY bg),
+        ctxc AS (SELECT split_part(bg, ' ', 1) AS ctx,
+            CAST(count(*) AS BIGINT) AS c_ctx FROM ex GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM d2)),
+        s AS (SELECT e.doc_id,
+            ln((b.c_bg + 1)::DOUBLE / (c.c_ctx + v.v)) AS lp
+          FROM ex e JOIN bgc b USING (bg)
+          JOIN ctxc c ON split_part(e.bg, ' ', 1) = c.ctx
+          CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          round(avg(lp), 4) AS avg_logp
+        FROM s GROUP BY doc_id"""
+
   /** Trained-IVF oracle: assignment, probe list and ranking re-derived
     * from the DUMPED codebook doubles. The dot product is a left fold in
     * index order seeded with 0.0 (list_reduce over list_prepend), the
@@ -1270,6 +1298,7 @@ object Oracles {
     "q_pack_sequences" -> qPackSequences,
     "q_quantize_int8" -> qQuantizeInt8,
     "q_tfidf" -> qTfidf,
+    "q_lm_score" -> qLmScore,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

@@ -397,6 +397,12 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => {
       ops.TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", 5)
     }),
+    // corpus-trained bigram LM scoring (the perplexity-filter shape):
+    // add-one-smoothed transitions trained on the corpus itself, docs
+    // scored by mean bigram log-probability
+    "q_lm_score" -> ((s, dir) => {
+      ops.TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
     // C4/Gopher-style composite quality gate: keep/drop + reasons
     "q_quality_filter" -> ((s, dir) => {
       ops.TextAnalysis.qualityFilter(t(s, dir, "documents"), "doc_id", "text")

@@ -119,6 +119,49 @@ object TextAnalysis {
       .select(col(idCol), col("keep"), col("reasons"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the
+    * perplexity-filter stage of CCNet/KenLM-style pipelines: train
+    * add-one-smoothed bigram probabilities on the corpus itself, then
+    * score every document by its MEAN bigram log-probability
+    * P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V), with
+    * a "<s>" start sentinel per document. A low score marks a document
+    * whose word transitions are surprising relative to the corpus —
+    * gibberish, boilerplate soup, wrong-language text — the standard
+    * LM-quality gate before training-data inclusion.
+    *
+    * Shapes: bigram and context counts are one hash aggregation each
+    * on vocabulary-sized keys; V is a 1-row scalar agg (cross join);
+    * scoring is a narrow explode + two equi-joins + a doc-keyed
+    * aggregation. At 100 TB the model tables stay vocabulary-sized
+    * (broadcastable by AQE); nothing is ever all-pairs or global.
+    * Returns (idCol, n_bigrams, avg_logp rounded 4). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // order-preserving tokenization (same idiom as tfidf: split on ' ',
+    // drop empties — but via the higher-order filter so ADJACENCY for
+    // bigrams survives)
+    val toksArr = filter(split(col(textCol), " "), t => length(t) > 0)
+    val docs = df.select(col(idCol), toksArr.as("toks"))
+      .filter(size(col("toks")) > 0)
+    val padded = concat(array(lit("<s>")), col("toks"))
+    val bigrams = zip_with(
+      slice(padded, lit(1), size(col("toks"))), col("toks"),
+      (a, b) => concat_ws(" ", a, b))
+    val ex = docs.select(col(idCol), explode(bigrams).as("bg"))
+    val bgCounts = ex.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = ex.select(substring_index(col("bg"), " ", 1).as("ctx"))
+      .groupBy(col("ctx")).agg(count(lit(1)).as("c_ctx"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    ex.join(bgCounts, Seq("bg"))
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .join(ctxCounts, Seq("ctx"))
+      .crossJoin(vocab)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c_bg") + 1).cast("double") / (col("c_ctx") + col("v")))), 4)
+          .as("avg_logp"))
+  }
+
   /** Per-document top-k keywords by TF-IDF: tf = in-doc term count,
     * df = documents containing the term, idf = ln(N/df), ranked
     * (tfidf desc, token asc) per document. Shapes: explode + two hash

@@ -488,6 +488,21 @@ class OpsSpec extends SparkTestBase {
     assert(!got(3L)._1 && got(3L)._2.contains("too_short"))
   }
 
+  test("lmScore: fluent in-corpus transitions outscore gibberish; counts exact") {
+    import spark.implicits._
+    val fluent = "the cat sat on the mat"
+    val docs = ((1L to 8L).map(i => (i, fluent)) :+ ((99L, "zq xv qk pw zz")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // 6 bigrams per fluent doc: <s>-the the-cat cat-sat sat-on on-the the-mat
+    assert(got(1L)._1 == 6L && got(99L)._1 == 5L, got.toString)
+    // repeated fluent transitions are high-probability; the gibberish
+    // doc's transitions are singletons against a 11-token vocabulary
+    assert(got(1L)._2 > got(99L)._2, got.toString)
+    assert(got(2L) == got(1L)) // identical docs score identically
+  }
+
   test("tf-idf top-k: corpus-wide terms score zero, rare terms rank first") {
     val d = docs(Seq(
       (1L, "apple banana banana shared"),

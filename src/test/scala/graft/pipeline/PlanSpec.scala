@@ -188,6 +188,14 @@ class PlanSpec extends SparkTestBase {
       "JW join must not go quadratic:\n" + plan.take(800))
   }
 
+  test("jwContainsJoin plans equi-joins on the token block, never a cartesian") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, s"acme systems ${i % 9}")).toDF("id", "s")
+    val plan = executedPlan(graft.ops.Dedup.jwContainsJoin(d, "id", "s", 0.9))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "contains-JW join must not go quadratic:\n" + plan.take(800))
+  }
+
   test("JDK codec decodes are shuffle-free narrow scans (image, video, audio)") {
     import graft.ops.Multimodal
     val img = Multimodal.codecImages(spark, 20, "png")
