@@ -446,20 +446,39 @@ object Dedup {
     * Probing on the RAREST token — not the first — is what keeps a
     * Zipfian stopword from turning the block join quadratic: the hot
     * token is only ever a block key for rows where it is the rarest
-    * one they have. Returns (id1 < id2, jw rounded 4). */
+    * one they have; the container side is additionally SEMI-JOIN
+    * pruned to tokens that actually are someone's rarest (broadcast —
+    * the set is vocabulary-bounded), so a hot stopword's exploded rows
+    * never even enter the block shuffle (review r05).
+    * Returns (id1 < id2, jw rounded 4).
+    *
+    * One token-table checkpoint RDD is retained per call (the exploded
+    * lineage feeds three plan branches — CLAUDE.md multi-branch rule);
+    * per-batch loop callers must use `jwContainsJoinReleasable`. */
   def jwContainsJoin(df: DataFrame, idCol: String, strCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    jwContainsJoinReleasable(df, idCol, strCol, threshold)._1
+
+  /** `jwContainsJoin` plus a RELEASE handle for the exploded-token
+    * checkpoint — fire it after the terminal action on the pairs. */
+  def jwContainsJoinReleasable(df: DataFrame, idCol: String, strCol: String,
+      threshold: Double): (DataFrame, () => Unit) = {
     val rows = df.select(col(idCol), col(strCol),
       array_distinct(split(col(strCol), " ")).as("toks"))
+    // materialized ONCE: three plan branches below would otherwise
+    // re-run the caller's upstream lineage per branch
     val exploded = rows.select(col(idCol), col(strCol), explode(col("toks")).as("tok"))
+      .localCheckpoint(true)
     val tokCounts = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val probe = exploded.join(tokCounts, Seq("tok"))
       .groupBy(col(idCol), col(strCol))
       .agg(min(struct(col("cnt"), col("tok"))).as("m"))
       .select(col("m.tok").as("tok"), col(idCol).as("ida"), col(strCol).as("sa"))
+    val probeKeys = probe.select(col("tok")).distinct()
     val container = exploded
+      .join(broadcast(probeKeys), Seq("tok"), "leftsemi")
       .select(col("tok"), col(idCol).as("idb"), col(strCol).as("sb"))
-    probe.join(container, Seq("tok"))
+    val pairs = probe.join(container, Seq("tok"))
       .filter(col("ida") =!= col("idb") && col("sb").contains(col("sa")))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"),
@@ -467,6 +486,8 @@ object Dedup {
           .as("jw"))
       .filter(col("jw") >= threshold)
       .distinct()
+    (pairs,
+      () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(exploded); () })
   }
 
   /** Scalable token-set Jaccard similarity self-join, same pruning

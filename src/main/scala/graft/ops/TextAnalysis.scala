@@ -129,13 +129,26 @@ object TextAnalysis {
     * gibberish, boilerplate soup, wrong-language text — the standard
     * LM-quality gate before training-data inclusion.
     *
-    * Shapes: bigram and context counts are one hash aggregation each
-    * on vocabulary-sized keys; V is a 1-row scalar agg (cross join);
-    * scoring is a narrow explode + two equi-joins + a doc-keyed
-    * aggregation. At 100 TB the model tables stay vocabulary-sized
-    * (broadcastable by AQE); nothing is ever all-pairs or global.
-    * Returns (idCol, n_bigrams, avg_logp rounded 4). */
-  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Shapes: the corpus is tokenized into the per-occurrence bigram
+    * table exactly ONCE (eager checkpoint — it feeds four plan
+    * branches, the CLAUDE.md multi-branch rule; at 100 TB four
+    * redundant tokenization passes would dominate); bigram and context
+    * counts are one hash aggregation each on vocabulary-sized keys; V
+    * is a 1-row scalar agg (cross join), derived from the bigram table
+    * too (every token is the `cur` of exactly one bigram); scoring is
+    * two equi-joins + a doc-keyed aggregation. Model tables stay
+    * vocabulary-sized (broadcastable by AQE); nothing is all-pairs or
+    * global. Returns (idCol, n_bigrams, avg_logp rounded 4).
+    *
+    * One bigram-table checkpoint RDD is retained per call; per-batch
+    * loop callers must use `lmScoreReleasable`. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScoreReleasable(df, idCol, textCol)._1
+
+  /** `lmScore` plus a RELEASE handle for the bigram-table checkpoint —
+    * fire it after the terminal action on the scores. */
+  def lmScoreReleasable(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, () => Unit) = {
     // order-preserving tokenization (same idiom as tfidf: split on ' ',
     // drop empties — but via the higher-order filter so ADJACENCY for
     // bigrams survives)
@@ -147,12 +160,15 @@ object TextAnalysis {
       slice(padded, lit(1), size(col("toks"))), col("toks"),
       (a, b) => concat_ws(" ", a, b))
     val ex = docs.select(col(idCol), explode(bigrams).as("bg"))
+      .localCheckpoint(true)
     val bgCounts = ex.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
     val ctxCounts = ex.select(substring_index(col("bg"), " ", 1).as("ctx"))
       .groupBy(col("ctx")).agg(count(lit(1)).as("c_ctx"))
-    val vocab = docs.select(explode(col("toks")).as("tok"))
+    // V = distinct tokens: every token occurs as the second element
+    // (`cur`) of exactly one bigram, so the checkpoint covers it
+    val vocab = ex.select(substring_index(col("bg"), " ", -1).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    ex.join(bgCounts, Seq("bg"))
+    val scores = ex.join(bgCounts, Seq("bg"))
       .withColumn("ctx", substring_index(col("bg"), " ", 1))
       .join(ctxCounts, Seq("ctx"))
       .crossJoin(vocab)
@@ -160,6 +176,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c_bg") + 1).cast("double") / (col("c_ctx") + col("v")))), 4)
           .as("avg_logp"))
+    (scores,
+      () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ex); () })
   }
 
   /** Per-document top-k keywords by TF-IDF: tf = in-doc term count,

@@ -88,10 +88,16 @@ object SkewBench {
     }
 
     def measure(tag: String, df: => DataFrame): Unit = {
+      // drain BEFORE reset and AFTER the action: TaskEnd events arrive
+      // on the listener-bus thread after collect() returns, and the
+      // straggler task's event — the one this bench exists to observe —
+      // is exactly the one most likely still queued (review r05)
+      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
       log.reset()
       val t0 = System.nanoTime()
       val r = df.collect()(0)
       val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.CoreBridge.drainListenerBus(spark.sparkContext)
       val (sid, maxR, medR, maxT, medT, nt) = log.heaviestStage()
       println(f"""{"bench":"skew","variant":"$tag","rows":$rows,"sec":$sec%.3f,"chk":${r.getLong(0)},"matched":${r.getLong(1)},"join_stage":$sid,"tasks":$nt,"max_task_rows":$maxR,"median_task_rows":$medR,"skew_ratio":${if (medR > 0) f"${maxR.toDouble / medR}%.1f" else "0"},"max_task_ms":$maxT,"median_task_ms":$medT}""")
     }
