@@ -293,6 +293,26 @@ object Oracles {
           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY id"""
 
+  /** Keep-best oracle: clusters re-derived by the recursive CTE, then
+    * the survivor picked by (length DESC, id ASC) row_number — the
+    * deterministic arg-min the engine's min_by(struct) encodes. */
+  val qDedupKeepBest: String =
+    s"""WITH RECURSIVE
+        pairs AS ($qDedupMinhashLsh),
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        cl AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY id),
+        sc AS (SELECT cl.id, cl.cluster, CAST(length(d.text) AS BIGINT) AS n_chars
+               FROM cl JOIN documents d ON d.doc_id = cl.id),
+        rk AS (SELECT id, cluster, n_chars,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_chars DESC, id ASC) AS rn FROM sc)
+        SELECT id, cluster, n_chars, rn = 1 AS keep FROM rk"""
+
   val qTextRepetition: String =
     s"""WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents,
           string_split(text, ' ') AS toks
@@ -1292,6 +1312,7 @@ object Oracles {
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_keep_best" -> qDedupKeepBest,
     "q_dedup_index_probe" -> qDedupIndexProbe,
     "q_text_repetition" -> qTextRepetition,
     "q_line_dedup" -> qLineDedup,

@@ -581,6 +581,27 @@ object Dedup {
     out
   }
 
+  /** The dedup DECISION step a real pipeline ends with: given near-dup
+    * clusters (id, cluster) from `connectedComponents`, pick ONE
+    * survivor per cluster — the LONGEST document, ties broken by min
+    * id (fully deterministic) — and mark the rest as drops. This is
+    * the C4/RefinedWeb "keep best representative" selection. Shapes:
+    * one id-keyed join to fetch lengths, one cluster-keyed arg-min
+    * aggregation, one cluster-keyed join-back — clusters are near-dup-
+    * sized, nothing is global. Returns (id, cluster, n_chars, keep). */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame): DataFrame = {
+    val scored = clusters.join(
+      docs.select(col(idCol).cast("long").as("id"),
+        length(col(textCol)).cast("long").as("n_chars")), Seq("id"))
+    val best = scored.groupBy(col("cluster"))
+      .agg(min_by(col("id"),
+        struct((-col("n_chars")).as("neg_len"), col("id"))).as("keep_id"))
+    scored.join(best, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("n_chars"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
+
   /** SimHash near-dup CANDIDATE PAIRS: signatures bucketed by their
     * four 16-bit chunks — by pigeonhole, any pair within Hamming
     * distance 3 shares at least one chunk, so chunk-equality is a

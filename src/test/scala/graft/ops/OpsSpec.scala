@@ -534,6 +534,19 @@ class OpsSpec extends SparkTestBase {
     assert(distTier == expected)
   }
 
+  test("keepBestPerCluster: longest doc survives, ties break to min id") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "aaaaaa"), (3L, "bbbbbb"),
+      (10L, "cc"), (11L, "ccccc"), (99L, "unclustered")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val got = Dedup.keepBestPerCluster(docs, "doc_id", "text", clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // cluster 1: lengths 4/6/6 — tie at 6 between ids 2 and 3 → 2 keeps
+    assert(got == Map(1L -> ((4L, false)), 2L -> ((6L, true)), 3L -> ((6L, false)),
+      10L -> ((2L, false)), 11L -> ((5L, true))), got.toString)
+  }
+
   test("repetition features: dup sentences and hot bigrams surface") {
     val repeated = "the cat sat. the cat sat. something else here. the cat sat"
     val clean = "alpha beta gamma delta. epsilon zeta eta theta"
