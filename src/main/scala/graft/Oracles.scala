@@ -475,6 +475,38 @@ object Oracles {
           FROM tkf t JOIN dfq q USING (token) CROSS JOIN cnt)
         WHERE rank <= 5"""
 
+  /** Split oracle: the identical md5-bucket function (the verified
+    * '0x'||substr(md5 …) == conv(…) toolbox identity). */
+  val qDataSplit: String =
+    s"""WITH b AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+            AS INT) AS bucket
+        FROM documents)
+        SELECT doc_id, bucket,
+          CASE WHEN bucket < 90 THEN 'train'
+               WHEN bucket < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM b"""
+
+  /** Vocabulary-coverage oracle: same counts, same (cnt DESC, token
+    * ASC) order, same top-100 cut, running sum over the window. */
+  val qVocabCoverage: String =
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tk WHERE length(token) > 0 GROUP BY token),
+        tot AS (SELECT sum(cnt) AS total FROM c),
+        r AS (SELECT token, cnt,
+                CAST(row_number() OVER w AS INT) AS rank,
+                sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM c
+              WINDOW w AS (ORDER BY cnt DESC, token ASC)
+              QUALIFY rank <= 100)
+        SELECT token, cnt, rank,
+          round(CAST(cum AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS coverage
+        FROM r CROSS JOIN tot"""
+
   /** Bigram-LM score oracle: the same add-one-smoothed model re-trained
     * in SQL (bigram/context counts + vocabulary size), docs re-scored
     * by mean ln P — Spark's log and DuckDB's ln may differ by an ulp
@@ -1320,6 +1352,8 @@ object Oracles {
     "q_quantize_int8" -> qQuantizeInt8,
     "q_tfidf" -> qTfidf,
     "q_lm_score" -> qLmScore,
+    "q_data_split" -> qDataSplit,
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

@@ -412,6 +412,17 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => {
       ops.TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", 5)
     }),
+    // deterministic train/val/test split (md5-bucketed — stable across
+    // runs/engines, the no-seed-file dataset split)
+    "q_data_split" -> ((s, dir) => {
+      ops.TextAnalysis.assignSplit(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    }),
+    // tokenizer-prep vocabulary: top-100 tokens with cumulative corpus
+    // coverage (global window bounded by the top-K limit)
+    "q_vocab_coverage" -> ((s, dir) => {
+      ops.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", 100)
+    }),
     // corpus-trained bigram LM scoring (the perplexity-filter shape):
     // add-one-smoothed transitions trained on the corpus itself, docs
     // scored by mean bigram log-probability

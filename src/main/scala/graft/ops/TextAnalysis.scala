@@ -119,6 +119,47 @@ object TextAnalysis {
       .select(col(idCol), col("keep"), col("reasons"))
   }
 
+  /** Deterministic train/val/test assignment — the split step every
+    * training-data pipeline ends with. The bucket is a pure function
+    * of the id (md5 % 100, the cross-engine-portable hash), so the
+    * split is stable across runs, machines and engines: no sampling
+    * state, no seed file, re-runnable on any subset. Scan-speed, no
+    * shuffle. Returns (idCol, bucket, split). */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100)).cast("int")
+    df.select(col(idCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Token-frequency vocabulary with cumulative corpus coverage — the
+    * tokenizer-prep step (how many tokens does a top-K vocabulary
+    * cover?). Counts are one token-keyed aggregation; the global
+    * (count DESC, token ASC) ranking is computed ONLY on the top-K
+    * rows after a TakeOrdered-style limit, so the single-partition
+    * window is bounded by K (the documented carve-out — never a
+    * corpus-sized global window). Returns
+    * (token, cnt, rank, coverage rounded 6). */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val topK = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    topK.crossJoin(total)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("coverage",
+        round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("total"), 6))
+      .select(col("token"), col("cnt"), col("rank"), col("coverage"))
+  }
+
   /** Corpus-trained bigram language-model scoring — the
     * perplexity-filter stage of CCNet/KenLM-style pipelines: train
     * add-one-smoothed bigram probabilities on the corpus itself, then

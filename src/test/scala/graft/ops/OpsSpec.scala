@@ -488,6 +488,33 @@ class OpsSpec extends SparkTestBase {
     assert(!got(3L)._1 && got(3L)._2.contains("too_short"))
   }
 
+  test("assignSplit: pure md5 bucket, stable, roughly 90/5/5") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("doc_id")
+    val got = TextAnalysis.assignSplit(ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val again = TextAnalysis.assignSplit(ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == again, "split must be a pure function of the id")
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03 &&
+      math.abs(frac("val") - 0.05) < 0.02 && math.abs(frac("test") - 0.05) < 0.02,
+      frac.toString)
+  }
+
+  test("vocabCoverage: rank follows (cnt desc, token asc); coverage monotone <= 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._3)
+    // counts: a=4 b=3 c=1 d=1 (total 9); top-3 ties break on token asc
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 4L, 1), ("b", 3L, 2), ("c", 1L, 3)), got.mkString(","))
+    assert(got.map(_._4).toSeq == Seq(4.0 / 9, 7.0 / 9, 8.0 / 9).map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("lmScore: fluent in-corpus transitions outscore gibberish; counts exact") {
     import spark.implicits._
     val fluent = "the cat sat on the mat"
