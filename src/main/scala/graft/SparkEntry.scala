@@ -117,7 +117,10 @@ object SparkEntry {
     * q_dedup_clusters and q_dedup_keep_best so the pair set is signed
     * once per JVM (VERDICT r04 pair-set-reuse note). */
   def clustersFor(s: SparkSession, dir: String): DataFrame =
-    checkpointed(s, s"dedup_clusters_${dir.replaceAll("[^0-9.]", "")}")(
+    // keyed on the FULL dir (sanitized for the path): this checkpoint's
+    // identity is the input directory itself — a digit-only key would
+    // alias two dirs with the same sf residue (review r05)
+    checkpointed(s, s"dedup_clusters_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")(
       ops.Dedup.connectedComponents(
         ops.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")))
 

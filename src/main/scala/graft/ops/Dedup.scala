@@ -586,20 +586,23 @@ object Dedup {
     * survivor per cluster — the LONGEST document, ties broken by min
     * id (fully deterministic) — and mark the rest as drops. This is
     * the C4/RefinedWeb "keep best representative" selection. Shapes:
-    * one id-keyed join to fetch lengths, one cluster-keyed arg-min
-    * aggregation, one cluster-keyed join-back — clusters are near-dup-
-    * sized, nothing is global. Returns (id, cluster, n_chars, keep). */
+    * one id-keyed join to fetch lengths, then ONE cluster-partitioned
+    * window (row_number == 1) — single pass, no self-join, no
+    * SortAggregate; cluster partitions are near-dup-cluster-sized, so
+    * the per-partition sort is tiny and nothing is global (review r05
+    * replaced the two-branch min_by + join-back form).
+    * Returns (id, cluster, n_chars, keep). */
   def keepBestPerCluster(docs: DataFrame, idCol: String, textCol: String,
       clusters: DataFrame): DataFrame = {
     val scored = clusters.join(
       docs.select(col(idCol).cast("long").as("id"),
         length(col(textCol)).cast("long").as("n_chars")), Seq("id"))
-    val best = scored.groupBy(col("cluster"))
-      .agg(min_by(col("id"),
-        struct((-col("n_chars")).as("neg_len"), col("id"))).as("keep_id"))
-    scored.join(best, Seq("cluster"))
-      .select(col("id"), col("cluster"), col("n_chars"),
-        (col("id") === col("keep_id")).as("keep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("id").asc)
+    scored
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id"), col("cluster"), col("n_chars"), col("keep"))
   }
 
   /** SimHash near-dup CANDIDATE PAIRS: signatures bucketed by their

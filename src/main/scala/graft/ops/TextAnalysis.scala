@@ -143,21 +143,35 @@ object TextAnalysis {
     * (count DESC, token ASC) ranking is computed ONLY on the top-K
     * rows after a TakeOrdered-style limit, so the single-partition
     * window is bounded by K (the documented carve-out — never a
-    * corpus-sized global window). Returns
+    * corpus-sized global window). The count table is materialized
+    * ONCE (eager checkpoint): it feeds both the total and the top-K
+    * branch, and the corpus tokenize+shuffle must not run per branch
+    * (CLAUDE.md multi-branch rule; review r05). One vocabulary-sized
+    * checkpoint RDD is retained per call — loop callers use
+    * `vocabCoverageReleasable`. Returns
     * (token, cnt, rank, coverage rounded 6). */
-  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame =
+    vocabCoverageReleasable(df, textCol, k)._1
+
+  /** `vocabCoverage` plus a RELEASE handle for the count-table
+    * checkpoint — fire it after the terminal action on the result. */
+  def vocabCoverageReleasable(df: DataFrame, textCol: String, k: Int)
+      : (DataFrame, () => Unit) = {
     val toks = df.select(explode(split(col(textCol), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val total = counts.agg(sum(col("cnt")).as("total"))
     val topK = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
     val w = Window.orderBy(col("cnt").desc, col("token").asc)
-    topK.crossJoin(total)
+    val out = topK.crossJoin(total)
       .withColumn("rank", row_number().over(w))
       .withColumn("coverage",
         round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double") / col("total"), 6))
       .select(col("token"), col("cnt"), col("rank"), col("coverage"))
+    (out,
+      () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(counts); () })
   }
 
   /** Corpus-trained bigram language-model scoring — the
