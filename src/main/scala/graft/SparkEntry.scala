@@ -116,13 +116,20 @@ object SparkEntry {
     * table (LSH pairs → connected components) — shared by
     * q_dedup_clusters and q_dedup_keep_best so the pair set is signed
     * once per JVM (VERDICT r04 pair-set-reuse note). */
-  def clustersFor(s: SparkSession, dir: String): DataFrame =
+  def clustersFor(s: SparkSession, dir: String): DataFrame = {
     // keyed on the FULL dir (sanitized for the path): this checkpoint's
     // identity is the input directory itself — a digit-only key would
-    // alias two dirs with the same sf residue (review r05)
-    checkpointed(s, s"dedup_clusters_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")(
+    // alias two dirs with the same sf residue (review r05). The md5
+    // suffix of the RAW dir makes the key injective: sanitization maps
+    // e.g. /a/b and /a_b to the same string (ADVICE r05)
+    val raw = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    checkpointed(s,
+      s"dedup_clusters_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$raw")(
       ops.Dedup.connectedComponents(
         ops.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")))
+  }
 
   /** Force every SHARED per-JVM artifact (the extract-once checkpoints
     * and the memoized IVF codebook reused across many queries) so

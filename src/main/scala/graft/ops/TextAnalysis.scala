@@ -239,20 +239,28 @@ object TextAnalysis {
     * df = documents containing the term, idf = ln(N/df), ranked
     * (tfidf desc, token asc) per document. Shapes: explode + two hash
     * aggregations + a token-keyed join + per-doc window — all keyed by
-    * token or document, no global step. */
+    * token or document, no global step. N is a 1-row scalar agg folded
+    * into the LAZY plan via crossJoin (the lmScore V pattern) —
+    * constructing the operator fires zero jobs, and the plan pays one
+    * doc-count over the tf table (already doc×token-keyed) instead of
+    * an extra full-corpus scan at action time (VERDICT r05 #2). */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val docs = df.filter(length(col(textCol)) > 0)
-    val nDocs = docs.count()
     val toks = docs.select(col(idCol),
         explode(split(col(textCol), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // N = docs with non-empty text; derived from `docs` directly (a doc
+    // whose tokens are all empty strings still counts, matching the old
+    // docs.count() semantics and the oracle's count over d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token").asc)
     tf.join(dfreq, Seq("token"))
+      .crossJoin(nDocs)
       .withColumn("tfidf",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"), col("rank"))
@@ -462,17 +470,50 @@ object TextAnalysis {
     * shuffle both engines reproduce) until the per-source token budget
     * is exhausted (inclusive running total ≤ budget). This is the
     * data-mixture primitive — balance sources to quota without a
-    * nondeterministic sample(). One window over the source key; scale
-    * shape is a single source-keyed shuffle, and a Zipfian-huge source
-    * salts like any hot window key. Returns every KEPT row with its
-    * shuffle rank and running token total. */
+    * nondeterministic sample().
+    *
+    * Scale shape (VERDICT r05 #1 — the packSequences two-pass prefix
+    * sum, applied per source): a single
+    * `partitionBy(source).orderBy(md5)` running window would sort and
+    * prefix-sum a Zipfian source's ENTIRE corpus slice on one reducer
+    * before the budget filter drops it. Instead the md5 order key is
+    * range-bucketed into 256 contiguous spans by its first two hex
+    * chars (hex strings compare lexicographically == numerically, so
+    * span order is md5 order); pass 1 aggregates per-(source, span)
+    * row/token totals — a sources×256-row table — whose prefix sums
+    * are computed by a window over THAT tiny table (each partition
+    * ≤ 256 rows, never the corpus, and never a driver collect); pass 2
+    * windows WITHIN each (source, span) and adds the broadcast bases.
+    * Spans whose base offset already exceeds the budget are dropped
+    * BEFORE the window shuffle (broadcast inner join), so the huge
+    * source's beyond-budget rows are filtered scan-side and never
+    * sorted at all. Returns every KEPT row with its shuffle rank and
+    * running token total — result-identical to the single-window form
+    * (OpsSpec pins the values; PlanSpec pins the plan shape). */
   def sampleByTokenBudget(df: DataFrame, srcCol: String, idCol: String,
       tokensCol: Column, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(srcCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__tok", tokensCol.cast("long"))
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum_tokens",
+    val base = df.select(col(srcCol), col(idCol), tokensCol.cast("long").as("__tok"))
+      .withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("__span", conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+    // pass 1: per-(source, span) totals — sources×256 rows, map-side combine
+    val totals = base.groupBy(col(srcCol), col("__span"))
+      .agg(count(lit(1)).as("__n"), sum(col("__tok")).as("__t"))
+    // exclusive prefix over the tiny totals table (partitions ≤ 256 rows)
+    val wp = Window.partitionBy(col(srcCol)).orderBy(col("__span"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = totals
+      .withColumn("__base_n", coalesce(sum(col("__n")).over(wp), lit(0L)))
+      .withColumn("__base_t", coalesce(sum(col("__t")).over(wp), lit(0L)))
+      // a span starting at or past the budget cannot contribute a kept
+      // row (cum > base ≥ budget) — prune it before the big-side shuffle
+      .filter(col("__base_t") < budget)
+      .select(col(srcCol), col("__span"), col("__base_n"), col("__base_t"))
+    // pass 2: window inside each (source, span) + broadcast bases
+    val w = Window.partitionBy(col(srcCol), col("__span"))
+      .orderBy(col("__key"), col(idCol))
+    base.join(broadcast(bases), Seq(srcCol, "__span"))
+      .withColumn("rank", (col("__base_n") + row_number().over(w)).cast("int"))
+      .withColumn("cum_tokens", col("__base_t") +
         sum(col("__tok")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("cum_tokens") <= budget)
       .select(col(srcCol), col(idCol), col("rank"), col("cum_tokens"))

@@ -36,8 +36,11 @@ object SkewBench {
           t.taskMetrics.executorRunTime))
     }
     def reset(): Unit = synchronized { rows.clear() }
-    /** Metrics of the stage with the largest total shuffle read. */
+    /** Metrics of the stage with the largest total shuffle read.
+      * Zeros when no TaskEnd with metrics was captured (e.g. a fully
+      * local/broadcast plan — ADVICE r05: maxBy on empty throws). */
     def heaviestStage(): (Int, Long, Long, Long, Long, Int) = synchronized {
+      if (rows.isEmpty) return (-1, 0L, 0L, 0L, 0L, 0)
       val byStage = rows.groupBy(_._1)
       val (sid, ts) = byStage.maxBy(_._2.map(_._2).sum)
       val reads = ts.map(_._2).sorted.toSeq

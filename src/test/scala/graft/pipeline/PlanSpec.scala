@@ -239,6 +239,32 @@ class PlanSpec extends SparkTestBase {
       "the prefix sum must be span-partitioned, not a global-order window:\n" + plan.take(1200))
   }
 
+  test("sampleByTokenBudget: corpus window is (source, span)-partitioned, never source alone") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books", 100L)).toDF("doc_id", "source", "n_chars")
+    val df = graft.ops.TextAnalysis.sampleByTokenBudget(d, "source", "doc_id",
+      col("n_chars") / lit(4), budget = 100L)
+    df.collect()
+    val plan = executedPlan(df)
+    // the window that runs over the CORPUS orders by the md5 key
+    // (__key); its spec must carry the __span range-bucket in the
+    // partition list — a source-alone partition is the one-reducer-
+    // per-Zipfian-source plan VERDICT r05 #1 flagged. (The prefix
+    // window over the sources×256 totals table has no __key order.)
+    val specs = """windowspecdefinition\(([^()]*)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    val corpusSpecs = specs.filter(_.contains("__key"))
+    assert(corpusSpecs.nonEmpty, "expected the corpus-ordered window:\n" + plan.take(1200))
+    corpusSpecs.foreach(s => assert(s.contains("__span"),
+      s"corpus window must be span-partitioned, got: $s"))
+    // and the exchange feeding it is keyed (source, __span)
+    val parts = """hashpartitioning\(([^()]*)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.exists(p => p.contains("source") && p.contains("__span")),
+      "expected a (source, __span) exchange:\n" + parts.mkString("; "))
+  }
+
   test("as-of and range joins: hash joins / one window, never a cross-join") {
     import spark.implicits._
     import java.sql.Timestamp
