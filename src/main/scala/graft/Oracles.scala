@@ -379,6 +379,35 @@ object Oracles {
             AS keep
         FROM n"""
 
+  /** Span-dedup oracle: 8-gram shingles with token positions re-derived
+    * (same tokenization as the MinHash CTEs), global first occurrence
+    * by (doc, pos) row_number, non-first occurrences merged per doc via
+    * gaps-and-islands over overlap-or-adjacent [pos, pos+8) intervals. */
+  val qSpanDedup: String =
+    s"""WITH d AS (SELECT doc_id,
+          string_split(regexp_replace(lower(text),'\\s+',' ','g'),' ') AS toks
+        FROM documents WHERE length(text) > 0),
+        sh AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+            md5(array_to_string(list_slice(toks, u.i + 1, u.i + 8), ' ')) AS key
+          FROM d, unnest(range(0, greatest(len(toks) - 8, 0) + 1)) AS u(i)),
+        dup AS (SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+            FROM sh)
+          WHERE rn > 1),
+        isl AS (SELECT doc_id, pos,
+            CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                 THEN 1 ELSE 0 END AS ni
+          FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT doc_id, pos,
+            sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl)
+        SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+          CAST(max(pos) + 8 AS INT) AS span_end,
+          CAST(count(*) AS BIGINT) AS n_shingles
+        FROM g GROUP BY doc_id, island"""
+
   val qPackSequences: String =
     s"""WITH t AS (SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
@@ -1348,6 +1377,7 @@ object Oracles {
     "q_dedup_index_probe" -> qDedupIndexProbe,
     "q_text_repetition" -> qTextRepetition,
     "q_line_dedup" -> qLineDedup,
+    "q_span_dedup" -> qSpanDedup,
     "q_pack_sequences" -> qPackSequences,
     "q_quantize_int8" -> qQuantizeInt8,
     "q_tfidf" -> qTfidf,

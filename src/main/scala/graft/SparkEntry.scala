@@ -357,6 +357,12 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) => {
       ops.TextAnalysis.lineDedup(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // span-level exact dedup (the Lee et al. 2022 axis): cross-document
+    // duplicated PASSAGES — 8-gram span keys, global first occurrence,
+    // per-doc interval merge into maximal duplicated token ranges
+    "q_span_dedup" -> ((s, dir) => {
+      ops.Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text")
+    }),
     // sequence packing: concat-and-chunk token layout, 512-token budget
     "q_pack_sequences" -> ((s, dir) => {
       ops.TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text", budget = 512L)

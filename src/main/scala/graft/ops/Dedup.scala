@@ -525,6 +525,61 @@ object Dedup {
       size(array_union(sa, sb)), 4)
   }
 
+  /** Substring/span-level exact dedup — the third standard dedup axis
+    * next to document-level (exact/MinHash/SimHash/embedding) and
+    * line-level (`TextAnalysis.lineDedup`): find cross-document
+    * duplicated PASSAGES inside otherwise-unique documents (the Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" suffix-array target, approximated with fixed-width n-gram
+    * spans — boilerplate paragraphs survive every doc-level filter
+    * because the surrounding document is unique).
+    *
+    * Semantics: tokenize like the MinHash machinery (lowercase,
+    * whitespace collapsed, split on single spaces), emit every n-token
+    * shingle with its 0-based token position; an occurrence is
+    * DUPLICATED when the same shingle appeared earlier in the corpus
+    * (global first occurrence by (doc, pos) — the lineDedup window
+    * shape — keeps its span); per document, overlapping or ADJACENT
+    * duplicated shingle intervals [pos, pos+n) merge into maximal
+    * duplicated passages (gaps-and-islands over the doc-keyed window).
+    * Returns one row per merged passage:
+    * (idCol, span_start, span_end, n_shingles) — token offsets,
+    * end exclusive. A document with no duplicated passage emits
+    * nothing; the first copy of a passage emits nothing.
+    *
+    * Scale shapes: shingles shuffle ONCE keyed by their md5 (fixed
+    * 32-char key regardless of n — never the raw n-token string);
+    * Zipfian boilerplate shingles are single window partitions handled
+    * by rank, exactly as lineDedup's hot lines. The island merge is a
+    * second shuffle keyed by document — partitions are document-sized.
+    * Nothing is all-pairs; nothing is global. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val ex = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(shingles(col(textCol), n)).as(Seq("pos", "sh")))
+      .withColumn("key", md5(col("sh")))
+      .drop("sh")
+    val wFirst = Window.partitionBy(col("key"))
+      .orderBy(col(idCol).asc, col("pos").asc)
+    val dup = ex.withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .select(col(idCol), col("pos"))
+    // gaps-and-islands: a new island starts when this shingle's span
+    // [pos, pos+n) neither overlaps nor touches the previous one
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+    dup
+      .withColumn("new_island",
+        when(lag(col("pos"), 1).over(wDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(wDoc) + n, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
   /** SimHash: 64-bit signature = sign(sum of ±1 per bit over token
     * hashes). COLUMNAR SPEC form — 64 independent `aggregate` passes,
     * each re-traversing the token-hash array: correct, but exactly the

@@ -598,6 +598,28 @@ class OpsSpec extends SparkTestBase {
     assert(got.filter(_._3.startsWith("unique")).forall(_._4))
   }
 
+  test("span dedup finds duplicated passages inside otherwise-unique docs") {
+    // 10-token passage planted in three otherwise-unique documents;
+    // doc 3 carries it TWICE, separated by 9 unique tokens (> n gap).
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 9).map(i => s"filler$i").mkString(" ")
+    val d = docs(Seq(
+      (1L, s"one two three $common four five six"),
+      (2L, s"seven eight nine ten eleven $common twelve"),
+      (3L, s"$common $filler $common"),
+      (4L, "totally unique text with no shared passage at all")))
+    val got = Dedup.spanDedup(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // doc 1 holds every global first occurrence (lowest doc_id) → emits nothing;
+    // doc 2: passage at tokens 5..14 → fully-interior 8-shingles at pos 5,6,7
+    //   merge to one island [5, 15);
+    // doc 3: two copies at 0..9 and 19..28 → two islands (gap 19-2 > 8);
+    // doc 4: nothing.
+    assert(got == Set(
+      (2L, 5, 15, 3L),
+      (3L, 0, 10, 3L), (3L, 19, 29, 3L)), got.toString)
+  }
+
   test("sequence packing: two-pass prefix sum equals the naive global cumsum") {
     import spark.implicits._
     val d = (0L until 100L).map(i => (i, (0 to (i % 7).toInt).map(j => s"t$j").mkString(" ")))
