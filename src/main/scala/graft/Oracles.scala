@@ -1239,6 +1239,33 @@ object Oracles {
         JOIN si ss ON t.subj_surface = ss.surface
         LEFT JOIN si so ON t.obj = so.surface"""
 
+  /** Node-side streaming-parity oracle: the BATCH node derivation
+    * (vocabulary rollup + linking + md5 mint + per-IRI min-(name,type)
+    * dedup — the kg_nodes_edges lineage) over the streamed corpus
+    * slice. The streamed fold of per-micro-batch node deltas must equal
+    * it row-for-row: a surface's node row is a pure function of
+    * (surface, KB) and the per-IRI reduce is associative. */
+  val kgStreamParityNodes: String =
+    s"""WITH t0 AS (SELECT * FROM ${inp("triples")}),
+        t AS (SELECT * FROM t0
+              WHERE CAST(regexp_extract(url, '-([0-9]+)$$', 1) AS BIGINT) % 5 = 0),
+        links AS (SELECT surface, uri FROM ${out("kg_links")}),
+        surfaces AS (SELECT surface, entity_type, slug FROM (
+            SELECT surface, entity_type, slug,
+              row_number() OVER (PARTITION BY surface ORDER BY entity_type, slug) AS rn
+            FROM (SELECT subj_surface AS surface, subj_type AS entity_type, subj AS slug FROM t
+                  UNION ALL
+                  SELECT obj, obj_type, obj_slug FROM t WHERE obj_is_entity))
+          WHERE rn = 1),
+        si AS (SELECT s.surface, s.entity_type, s.slug,
+                 coalesce(l.uri, 'https://kg.local/e/' || s.slug || '-' ||
+                   substr(md5(s.surface), 1, 8)) AS iri
+               FROM surfaces s LEFT JOIN links l USING (surface))
+        SELECT iri, entity_type, surface AS name, slug FROM (
+          SELECT iri, entity_type, surface, slug,
+            row_number() OVER (PARTITION BY iri ORDER BY surface, entity_type) AS rn
+          FROM si) WHERE rn = 1"""
+
   val kgDegrees: String =
     s"""WITH $graphEdgeCtes,
         o AS (SELECT src_iri AS iri, CAST(count(*) AS BIGINT) AS out_deg
@@ -1423,6 +1450,7 @@ object Oracles {
     "kg_warc_ingest" -> kgWarcIngest,
     "kg_windowed_counts" -> kgWindowedCounts,
     "kg_stream_parity" -> kgStreamParity,
+    "kg_stream_parity_nodes" -> kgStreamParityNodes,
     "kg_docred_denorm" -> kgDocredDenorm,
     "kg_docred_cross_sentence" -> kgDocredCrossSentence,
     "docred_real_denorm" -> docredRealDenorm,

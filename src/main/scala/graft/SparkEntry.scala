@@ -112,6 +112,33 @@ object SparkEntry {
     checkpointed(s, s"pages_ts_${pagesFor(dir)}")(
       Corpus.pages(s, pagesFor(dir)).toDF.select(col("url"), col("warc_ts")))
 
+  /** Per-JVM one-shot streaming-parity run: a deterministic fifth of
+    * the corpus (url id % 5 == 0, re-derivable in SQL) streams through
+    * StreamIngest.runLinked under Trigger.AvailableNow with
+    * maxFilesPerTrigger=2 over 4 page files (at least two REAL
+    * micro-batches), producing both the linked edge table and the
+    * per-batch node deltas. kg_stream_parity (edges) and
+    * kg_stream_parity_nodes (nodes) read this single run — the run's
+    * parquet output IS the checkpoint. Returns the run's out dir. */
+  private val streamRunCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def streamParityOutFor(s: SparkSession, dir: String): String =
+    streamRunCache.synchronized {
+      streamRunCache.getOrElseUpdate(s"stream_parity_${pagesFor(dir)}", {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_stream_parity").toString
+        Corpus.pages(s, pagesFor(dir)).toDF
+          .filter(pmod(regexp_extract(col("url"), "-([0-9]+)$", 1).cast("long"),
+            lit(5)) === 0)
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$base/pages")
+        val q = graft.streaming.StreamIngest.runLinked(s, s"$base/pages",
+          s"$base/out", s"$base/ck", Corpus.kb(s), kbCountHint = kbCountHint,
+          maxFilesPerTrigger = Some(2))
+        q.awaitTermination()
+        s"$base/out"
+      })
+    }
+
   /** Per-JVM checkpointed near-dup cluster table of the documents
     * table (LSH pairs → connected components) — shared by
     * q_dedup_clusters and q_dedup_keep_best so the pair set is signed
@@ -775,20 +802,15 @@ object SparkEntry {
     // bench cost stays query-sized; maxFilesPerTrigger=2 over 4 page
     // files forces at least two micro-batches.
     "kg_stream_parity" -> ((s, dir) => {
-      checkpointed(s, s"stream_parity_${pagesFor(dir)}") {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_stream_parity").toString
-        Corpus.pages(s, pagesFor(dir)).toDF
-          .filter(pmod(regexp_extract(col("url"), "-([0-9]+)$", 1).cast("long"),
-            lit(5)) === 0)
-          .repartition(4)
-          .write.mode("overwrite").parquet(s"$base/pages")
-        val q = graft.streaming.StreamIngest.runLinked(s, s"$base/pages",
-          s"$base/out", s"$base/ck", Corpus.kb(s), kbCountHint = kbCountHint,
-          maxFilesPerTrigger = Some(2))
-        q.awaitTermination()
-        s.read.parquet(s"$base/out/edges").drop("batch", "pk")
-      }
+      s.read.parquet(s"${streamParityOutFor(s, dir)}/edges").drop("batch", "pk")
+    }),
+    // §2.9 node-side parity (VERDICT r05 ask #3): the SAME streaming run
+    // also maintains the node table as per-micro-batch vocabulary-sized
+    // deltas; their associative reduceNodes fold must equal the batch
+    // node derivation (DuckDB re-derives rollup+linking+mint+node dedup
+    // over the streamed corpus slice).
+    "kg_stream_parity_nodes" -> ((s, dir) => {
+      graft.streaming.StreamIngest.streamedNodes(s, streamParityOutFor(s, dir))
     }),
     // streaming windowed aggregation shape (computed on batch data here)
     "kg_windowed_counts" -> ((s, dir) => {

@@ -215,12 +215,8 @@ object Checkpointed {
     // full rebuild (nodesFresh already spans ALL triples) on re-extraction
     val nodesMerged =
       if (!hadGraph || reextracted) nodesFresh
-      else spark.read.parquet(s"$baseDir/nodes").unionByName(nodesFresh)
-        .groupBy(col("iri"))
-        .agg(min_by(struct(col("entity_type"), col("name"), col("slug")),
-          struct(col("name"), col("entity_type"))).as("n"))
-        .select(col("iri"), col("n.entity_type").as("entity_type"),
-          col("n.name").as("name"), col("n.slug").as("slug"))
+      else Pipeline.reduceNodes(
+        spark.read.parquet(s"$baseDir/nodes").unionByName(nodesFresh))
     // materialize BEFORE overwriting the directory being read
     val tmpNodes = s"$baseDir/_nodes_next"
     nodesMerged.write.mode("overwrite").parquet(tmpNodes)

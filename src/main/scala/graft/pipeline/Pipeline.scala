@@ -208,12 +208,8 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     surfaceIri.count() // force once; both join-back tiers reuse the cache
 
-    val nodes0 = surfaceIri
-      .groupBy(col("iri"))
-      .agg(min_by(struct(col("entity_type"), col("surface"), col("slug")),
-        struct(col("surface"), col("entity_type"))).as("n"))
-      .select(col("iri"), col("n.entity_type").as("entity_type"),
-        col("n.surface").as("name"), col("n.slug").as("slug"))
+    val nodes0 = reduceNodes(surfaceIri.select(col("iri"), col("entity_type"),
+      col("surface").as("name"), col("slug")))
     // A3 on the node table (opt-in: one extra big-table aggregation):
     // props MAP<STRING,STRING> per IRI, last-write-wins per property.
     // The reference buffer is per-document; across documents the write
@@ -238,6 +234,22 @@ object Pipeline {
     val edges = joinBackEdges(trip.toDF, surfaceIri, useBroadcast)
     (nodes, edges, () => { surfaceIri.unpersist(); surfaceInfo.unpersist(); () })
   }
+
+  /** Associative node-table reduce: one row per IRI, the minimum
+    * (name, entity_type) representative. A surface's (entity_type,
+    * slug, iri) is a pure function of (surface, KB), so reducing a
+    * UNION of already-reduced partial node tables equals reducing the
+    * full input once — the reduce is associative and idempotent. Both
+    * incremental consumers rest on exactly this law:
+    * `Checkpointed.runAll` merges the previous node table with fresh
+    * buckets' nodes, and `StreamIngest` folds per-micro-batch node
+    * deltas into the streamed node table. */
+  def reduceNodes(nodes: DataFrame): DataFrame =
+    nodes.groupBy(col("iri"))
+      .agg(min_by(struct(col("entity_type"), col("name"), col("slug")),
+        struct(col("name"), col("entity_type"))).as("n"))
+      .select(col("iri"), col("n.entity_type").as("entity_type"),
+        col("n.name").as("name"), col("n.slug").as("slug"))
 
   /** JSON-LD document emission (the reference's NATIVE output format:
     * RdfDocument @context/@graph, types.rs:170-196) — one JSON document

@@ -122,7 +122,21 @@ object StreamIngest {
     * surface's IRI is a PURE function of (surface, KB), so per-batch
     * edge builds union to exactly the all-at-once batch edges
     * (StreamIngestSpec asserts streamed == batch). The sink reuses the
-    * (batch, pk) dynamic-overwrite idempotence contract of `run`. */
+    * (batch, pk) dynamic-overwrite idempotence contract of `run`.
+    *
+    * The NODE table streams too: each micro-batch writes its
+    * vocabulary-sized node rows as a DELTA under `outDir/nodes/batch=N`
+    * (same dynamic-overwrite replay contract as the edges — a replayed
+    * batch replaces exactly its own delta, never appends), and
+    * `streamedNodes` folds the deltas with the associative
+    * `Pipeline.reduceNodes` merge `Checkpointed.runAll` uses for
+    * incremental batch. A delta log beats per-batch read-modify-write
+    * of one nodes table inside the sink: no torn-table crash window
+    * between reading the previous table and overwriting it, and replay
+    * idempotence comes from the partition contract instead of relying
+    * on the merge's idempotence. Deltas are vocabulary-sized, so the
+    * read-time reduce is bounded; `compactNodes` caps the delta count
+    * for long-lived streams. */
   def runLinked(spark: SparkSession, pagesDir: String, outDir: String,
       checkpointDir: String, kb: Dataset[graft.pipeline.KbEntry],
       kbCountHint: Option[Long] = None, nBuckets: Int = 16,
@@ -145,7 +159,7 @@ object StreamIngest {
         // releasable build: the stream must not accumulate the graph
         // build's internal persisted tables across micro-batches —
         // release fires after the batch's terminal write
-        val (_, edges, release) = graft.pipeline.Pipeline
+        val (nodes, edges, release) = graft.pipeline.Pipeline
           .graphFromTriplesReleasable(trip, kb, kbCountHint = kbCountHint)
         try {
           batch.sparkSession.conf
@@ -154,9 +168,53 @@ object StreamIngest {
             .withColumn("pk", Checkpointed.bucketOf(col("url"), nBuckets))
             .write.mode("overwrite").partitionBy("batch", "pk")
             .parquet(s"$outDir/edges")
+          // node delta: this batch's vocabulary-sized node rows (both
+          // writes reuse the build's forced surfaceIri cache). A crash
+          // between the two writes replays the whole batch — both sinks
+          // are partition-idempotent, so the rewrite is byte-identical.
+          nodes.withColumn("batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch")
+            .parquet(s"$outDir/nodes")
         } finally release()
       }
       .start()
+  }
+
+  /** The streamed NODE table: every micro-batch delta folded by the
+    * associative `Pipeline.reduceNodes` merge. Equal to the all-at-once
+    * batch node table over the same pages (kg_stream_parity_nodes pins
+    * this under the driver's DuckDB oracle) because a surface's node
+    * row is a pure function of (surface, KB) and the reduce is
+    * associative over any batching of the surface set. */
+  def streamedNodes(spark: SparkSession, outDir: String): DataFrame =
+    graft.pipeline.Pipeline.reduceNodes(
+      spark.read.parquet(s"$outDir/nodes").drop("batch"))
+
+  /** Bound the node-delta count for a long-lived stream: replace all
+    * deltas with ONE compacted delta under batch=-1 (streaming batchIds
+    * are non-negative, so it can never collide with a live batch).
+    * Run between AvailableNow catch-up runs, never concurrently with
+    * an active stream. Same staging-swap crash contract as
+    * Checkpointed.runAll's node rewrite: the compacted table is fully
+    * materialized to `_nodes_next` BEFORE the directory it was read
+    * from is overwritten. */
+  def compactNodes(spark: SparkSession, outDir: String): Unit = {
+    val tmp = s"$outDir/_nodes_next"
+    streamedNodes(spark, outDir).withColumn("batch", lit(-1L))
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static") // replace ALL deltas
+      .partitionBy("batch").parquet(s"$outDir/nodes")
+    val p = java.nio.file.Paths.get(tmp)
+    if (java.nio.file.Files.exists(p)) {
+      val s0 = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s0.iterator().asScala.toList.foreach(java.nio.file.Files.delete)
+      } finally s0.close()
+      java.nio.file.Files.delete(p)
+    }
   }
 
   /** Streaming CONTENT dedup: pages deduplicated across micro-batches

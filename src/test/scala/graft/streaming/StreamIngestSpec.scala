@@ -50,16 +50,26 @@ class StreamIngestSpec extends SparkTestBase {
       .filter(_.getStorageLevel.useMemory)
     assert(leaked.isEmpty, s"leaked caches: ${leaked.map(_.name).mkString(", ")}")
     val streamed = spark.read.parquet(s"$work/out/edges").drop("batch", "pk")
-    val (_, batchEdges, releaseRef) = graft.pipeline.Pipeline
+    val (batchNodes, batchEdges, releaseRef) = graft.pipeline.Pipeline
       .graphFromTriplesReleasable(Kg.pagesToTriples(pages), kb)
     // IRI minting/linking is a pure function of (surface, KB), so the
     // per-batch builds must reproduce the all-at-once edges exactly
     def canon(df: org.apache.spark.sql.DataFrame) =
-      df.select(streamed.columns.sorted.map(col): _*)
+      df.select(df.columns.sorted.map(col): _*)
         .distinct().collect().map(_.toSeq).sortBy(_.toString).toSeq
     try {
       assert(canon(streamed) == canon(batchEdges))
       assert(streamed.count() > 0)
+      // node-side parity: the associative fold of per-batch node deltas
+      // equals the all-at-once batch node table
+      val streamedNodes = StreamIngest.streamedNodes(spark, s"$work/out")
+      assert(canon(streamedNodes) == canon(batchNodes))
+      assert(streamedNodes.count() > 0)
+      // compaction preserves the table exactly and bounds the delta count
+      StreamIngest.compactNodes(spark, s"$work/out")
+      assert(canon(StreamIngest.streamedNodes(spark, s"$work/out")) == canon(batchNodes))
+      assert(spark.read.parquet(s"$work/out/nodes")
+        .select("batch").distinct().count() == 1)
     } finally releaseRef()
   }
 
