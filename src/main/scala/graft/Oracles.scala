@@ -591,6 +591,63 @@ object Oracles {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
           FROM s) WHERE rank <= 5"""
 
+  /** PQ-ADC oracle: encoding (per-subspace argmin L2, ties to the
+    * smaller code), reconstruction norms and ADC scores re-derived from
+    * the DUMPED codebook doubles. Every float fold is a left fold in
+    * index order seeded with 0.0 (list_reduce over list_prepend) and
+    * the per-vector sums over subspaces use list(x ORDER BY sub) before
+    * folding — the exact evaluation order of the Spark side's
+    * aggregate(zip_with(codes, sequence(0, m-1), …), 0.0, +), so scores
+    * are bit-identical, not just round-close. */
+  val qKnnPq: String =
+    s"""WITH books AS (SELECT sub, code, cvec FROM ${inp("pq_codebooks")}),
+        d AS (SELECT e.vec_id, b.sub, b.code,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, 9), i ->
+                    (e.embedding[b.sub*8 + i]::DOUBLE - b.cvec[i])
+                    * (e.embedding[b.sub*8 + i]::DOUBLE - b.cvec[i]))),
+                  (a, x) -> a + x) AS d2
+              FROM embeddings e CROSS JOIN books b),
+        codes AS (SELECT vec_id, sub, code FROM d
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                    ORDER BY d2 ASC, code ASC) = 1),
+        bn AS (SELECT sub, code,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, 9), i -> cvec[i] * cvec[i])),
+                  (a, x) -> a + x) AS n2
+               FROM books),
+        rn AS (SELECT c.vec_id,
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list(bn.n2 ORDER BY c.sub)), (a, x) -> a + x)) AS rnorm
+               FROM codes c JOIN bn ON c.sub = bn.sub AND c.code = bn.code
+               GROUP BY c.vec_id),
+        q AS (SELECT vec_id AS qid, embedding AS qvec,
+                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, 65), i ->
+                    embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                  (a, x) -> a + x)) AS qnorm
+              FROM embeddings WHERE vec_id < 3),
+        ad AS (SELECT q.qid, q.qnorm, c.vec_id, c.sub,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, 9), i ->
+                    q.qvec[c.sub*8 + i]::DOUBLE * b.cvec[i])),
+                  (a, x) -> a + x) AS dt
+               FROM q, codes c, books b
+               WHERE c.sub = b.sub AND c.code = b.code),
+        s AS (SELECT qid, vec_id, qnorm,
+                list_reduce(list_prepend(0.0::DOUBLE, list(dt ORDER BY sub)),
+                  (a, x) -> a + x) AS dotq
+              FROM ad GROUP BY qid, vec_id, qnorm),
+        f AS (SELECT s.qid, s.vec_id,
+                CASE WHEN r.rnorm * s.qnorm = 0.0 THEN 0.0
+                     ELSE s.dotq / (s.qnorm * r.rnorm) END AS score
+              FROM s JOIN rn r ON s.vec_id = r.vec_id)
+        SELECT qid, vec_id, rank, round(score, 3) AS pq_score FROM (
+          SELECT qid, vec_id, score,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, vec_id ASC) AS rank
+          FROM f) WHERE rank <= 5"""
+
   val qDedupEmbedding: String = {
     val bucket = lshBucketExpr("embedding", 64, 8)
     s"""WITH cb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
@@ -1416,6 +1473,7 @@ object Oracles {
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,
     "q_knn_ivf" -> qKnnIvf,
     "q_knn_ivf_trained" -> qKnnIvfTrained,
+    "q_knn_pq" -> qKnnPq,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_frames" -> qMultimodalFrames,

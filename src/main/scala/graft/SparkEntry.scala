@@ -84,6 +84,16 @@ object SparkEntry {
         ops.Similarity.fitCentroids(t(s, dir, "embeddings"), dim = 64, k = 8, iters = 3))
     }
 
+  /** Per-JVM memoized PQ codebooks (same memoization rationale as
+    * ivfCentroidsFor: the fit's double sums carry partition-order ulp
+    * jitter, so Verify's dump and q_knn_pq must share one fit). */
+  private val pqCache = scala.collection.mutable.HashMap.empty[String, Array[Array[Array[Double]]]]
+  def pqCodebooksFor(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate(dir,
+        ops.Similarity.fitPqCodebooks(t(s, dir, "embeddings"), dim = 64, m = 8, k = 8, iters = 3))
+    }
+
   /** Driver-side KB row count (no Spark job — the label list is a local
     * Seq), passed as the kbCountHint so linking's size-tier decision
     * never pays a count() job per call (VERDICT r03 #1). */
@@ -499,6 +509,17 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       ops.Similarity.ivfTopKWith(q, e, dim = 64,
         centroids = ivfCentroidsFor(s, dir), nProbe = 4, k = 5)
+    }),
+    // product-quantized ANN (the billion-vector MEMORY tier): corpus
+    // compressed to m=8 one-byte codes/vector by trained per-subspace
+    // k-means codebooks, queries scored by ADC table lookups; the
+    // codebooks are persisted by Verify and the oracle re-derives
+    // encode + ADC ranking from the dumped doubles
+    "q_knn_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ops.Similarity.pqTopK(q, e, dim = 64, books = pqCodebooksFor(s, dir), k = 5)
     }),
     // multiprobe LSH ANN: own bucket + every Hamming-1 neighbor probed
     "q_knn_lsh_multiprobe" -> ((s, dir) => {

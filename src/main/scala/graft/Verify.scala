@@ -97,6 +97,9 @@ object Verify {
     // uses, persisted so the oracle re-derives from identical doubles
     w(ops.Similarity.centroidsToDF(spark,
       SparkEntry.ivfCentroidsFor(spark, sfDir)), "ivf_centroids")
+    // trained PQ codebooks (same memoized-fit rationale) for q_knn_pq
+    w(ops.Similarity.pqCodebooksToDF(spark,
+      SparkEntry.pqCodebooksFor(spark, sfDir)), "pq_codebooks")
     val webnlg = sources.WebNlg.entries(spark, SparkEntry.webnlgPath)
     w(webnlg.toDF, "webnlg")
     w(sources.WebNlg.predicted(webnlg), "webnlg_pred")

@@ -309,6 +309,243 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim"))
   }
 
+  // ===== Product quantization (PQ) — the billion-vector MEMORY tier =====
+  // Jégou/Douze/Schmid 2011 (public paper): split each dim-d vector into
+  // m orthogonal subspaces, k-means each subspace independently, store
+  // only the m nearest-centroid codes per vector (m bytes at k<=256 vs
+  // 4*dim float bytes), and score queries by Asymmetric Distance
+  // Computation — an m-entry table lookup per vector instead of a
+  // dim-term dot product. The ADC pass IS a full scan, but over the
+  // compressed code table: at 10^9 vectors the codes fit where the
+  // floats never would, and the scan is m lookups + m adds per row.
+
+  /** Deterministic seeded init centroid for subspace `sub`, code `j`
+    * (the same splitmix constants as the LSH planes, distinct stream) —
+    * the fallback when the init sample is too small. */
+  def pqSeedCentroid(sub: Int, j: Int, subDim: Int): Array[Double] =
+    Array.tabulate(subDim)(d => planeComponent(sub * 977 + j * 131 + 13, d))
+
+  /** Deterministic farthest-point init (the greedy max-min k-means++
+    * variant) per subspace over a bounded sample: seed 0 is the first
+    * sample row's sub-vector, each next seed is the sample point
+    * maximizing its min L2 distance to the seeds so far (ties to the
+    * earlier row). Unlike fixed seeded directions, this cannot drop two
+    * seeds into one true sub-cluster while another has none — the
+    * merged-cluster state Lloyd's can never split. Driver-side over a
+    * cap-bounded sample, O(m * k * |sample| * subDim). */
+  private def pqFarthestInit(sample: Array[Array[Float]], m: Int, k: Int,
+      subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { sub =>
+      val off = sub * subDim
+      val n = sample.length
+      val take = math.min(k, n)
+      val chosen = new Array[Int](take)
+      val minD = Array.fill(n)(Double.MaxValue)
+      var c = 0
+      while (c < take) {
+        if (c == 0) chosen(0) = 0
+        else {
+          val last = chosen(c - 1)
+          var bestI = 0; var bestD = -1.0
+          var i = 0
+          while (i < n) {
+            var s2 = 0.0; var d = 0
+            while (d < subDim) {
+              val diff = (sample(i)(off + d) - sample(last)(off + d)).toDouble
+              s2 += diff * diff; d += 1
+            }
+            if (s2 < minD(i)) minD(i) = s2
+            if (minD(i) > bestD) { bestD = minD(i); bestI = i }
+            i += 1
+          }
+          chosen(c) = bestI
+        }
+        c += 1
+      }
+      Array.tabulate(k) { j =>
+        if (j < take) Array.tabulate(subDim)(d => sample(chosen(j))(off + d).toDouble)
+        else pqSeedCentroid(sub, j, subDim) // sample smaller than k
+      }
+    }
+
+  /** Per-subspace Lloyd's k-means (L2 assignment — PQ minimizes
+    * reconstruction error, unlike the max-inner-product IVF fit): all m
+    * sub-codebooks update in ONE corpus scan per iteration, accumulating
+    * m*k*(dim/m) = k*dim doubles per partition — broadcast-tiny. Init is
+    * sampled farthest-point (above) over an md5-ordered cap-bounded
+    * sample — TakeOrdered (top-cap per partition), never a full sort.
+    * Returns books(sub)(code)(d), d in 0 until dim/m. */
+  def fitPqCodebooks(corpus: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int, initSampleCap: Int = 2048): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus
+      .select(col("embedding"), md5(col("vec_id").cast("string")).as("ord"))
+      .orderBy(col("ord")).limit(initSampleCap)
+      .select(col("embedding")).as[Array[Float]].collect()
+    var books =
+      if (sample.isEmpty) Array.tabulate(m, k)((sub, j) => pqSeedCentroid(sub, j, subDim))
+      else pqFarthestInit(sample, m, k, subDim)
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val (acc, cnt) = vecs.mapPartitions { it =>
+        val bs = bc.value
+        val acc = Array.fill(m, k)(new Array[Double](subDim))
+        val cnt = Array.fill(m)(new Array[Long](k))
+        it.foreach { v =>
+          var sub = 0
+          while (sub < m) {
+            val off = sub * subDim
+            var best = 0; var bestD = Double.MaxValue
+            var j = 0
+            while (j < k) {
+              var s2 = 0.0; var d = 0
+              while (d < subDim) {
+                val diff = v(off + d).toDouble - bs(sub)(j)(d); s2 += diff * diff; d += 1
+              }
+              if (s2 < bestD) { bestD = s2; best = j }
+              j += 1
+            }
+            var d = 0
+            while (d < subDim) { acc(sub)(best)(d) += v(off + d); d += 1 }
+            cnt(sub)(best) += 1
+            sub += 1
+          }
+        }
+        Iterator.single((acc, cnt))
+      }.reduce { (a, b) =>
+        val (sa, ca) = a; val (sb, cb2) = b
+        for (sub <- 0 until m; j <- 0 until k) {
+          var d = 0
+          while (d < subDim) { sa(sub)(j)(d) += sb(sub)(j)(d); d += 1 }
+          ca(sub)(j) += cb2(sub)(j)
+        }
+        (sa, ca)
+      }
+      books = Array.tabulate(m, k) { (sub, j) =>
+        if (cnt(sub)(j) == 0) books(sub)(j) // empty cluster keeps its seed
+        else Array.tabulate(subDim)(d => acc(sub)(j)(d) / cnt(sub)(j))
+      }
+    }
+    books
+  }
+
+  /** PQ-encode one vector: per subspace, the L2-nearest code (strict <,
+    * so ties break to the SMALLER code — matches pqEncodeColumn and the
+    * DuckDB oracle's ORDER BY d2 ASC, code ASC). Ascending-d 0.0-seeded
+    * distance fold, the exact order the oracle's list_reduce replays. */
+  def pqEncode(v: Array[Float], books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val subDim = v.length / m
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * subDim
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < books(sub).length) {
+        var s2 = 0.0; var d = 0
+        while (d < subDim) {
+          val diff = v(off + d).toDouble - books(sub)(j)(d); s2 += diff * diff; d += 1
+        }
+        if (s2 < bestD) { bestD = s2; best = j }
+        j += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    out
+  }
+
+  /** Columnar executable spec of pqEncode (equivalence-tested in
+    * OpsSpec): argmin-by-L2 per subspace via the negated greatest-struct
+    * trick ivfAssignWith uses. Kept as the SPEC — the kernel loop does
+    * the corpus-scan work (the m*k*subDim-term expression is the giant-
+    * codegen shape CLAUDE.md warns about). */
+  def pqEncodeColumn(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    array((0 until m).map { sub =>
+      val scored = books(sub).indices.map { j =>
+        val d2 = (0 until subDim).map { d =>
+          val diff = element_at(vec, sub * subDim + d + 1).cast("double") - lit(books(sub)(j)(d))
+          diff * diff
+        }.reduce(_ + _)
+        struct((-d2).as("negd"), lit(-j).as("negid"))
+      }
+      (-greatest(scored: _*).getField("negid")).cast("int")
+    }: _*)
+  }
+
+  /** Persist shape for PQ codebooks: one row per (sub, code) with the
+    * centroid doubles — m*k rows, written as parquet so the oracle
+    * re-derives encoding and ADC scores from the EXACT fitted doubles
+    * (the q_knn_ivf_trained pattern). */
+  def pqCodebooksToDF(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for (sub <- books.indices; j <- books(sub).indices)
+      yield (sub, j, books(sub)(j).toSeq)).toDF("sub", "code", "cvec")
+  }
+
+  /** PQ-ADC approximate top-k cosine: corpus compressed to m codes per
+    * vector (kernel encode scan), each query carries a broadcast m*k
+    * ADC lookup table (dot of its sub-vector with every centroid) plus
+    * its norm; score = sum of m table lookups / (|q| * |reconstruction|)
+    * — the reconstruction norm is itself m lookups into a constant
+    * table because PQ subspaces are orthogonal. The scan over the code
+    * table touches no floats. Approximate by construction: scores are
+    * cosine against the QUANTIZED vector, so ranks can differ from
+    * brute force (recall is property-tested, the score column is named
+    * pq_score, not cos_sim). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+      books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = books.length
+    val nCodes = books(0).length
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    val codes = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, pqEncode(v, bc.value)) })
+      .toDF("vec_id", "codes")
+    // constant |centroid|^2 table (driver-computed, ascending-d fold —
+    // the oracle recomputes it from the dumped doubles in the same order)
+    val norm2 = for (sub <- 0 until m; j <- 0 until nCodes) yield {
+      val c = books(sub)(j); var s = 0.0; var d = 0
+      while (d < subDim) { s += c(d) * c(d); d += 1 }
+      s
+    }
+    val normArr = array(norm2.map(lit): _*)
+    // query-side ADC table: m*k sub-dots as left-assoc column chains
+    // (query side is broadcast-tiny, so the wide expression runs over a
+    // handful of rows, never the corpus)
+    val adcArr = array((for (sub <- 0 until m; j <- 0 until nCodes) yield
+      (0 until subDim).map(d =>
+        element_at(col("qvec"), sub * subDim + d + 1).cast("double") * lit(books(sub)(j)(d))
+      ).reduce(_ + _)): _*)
+    val qb = queries.withColumn("adc", adcArr).withColumn("qnorm", norm(col("qvec")))
+    val scored = codes.crossJoin(broadcast(qb))
+      .withColumn("dotq", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, sub) => element_at(col("adc"), sub * nCodes + code + 1)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rnorm", sqrt(aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, sub) => element_at(normArr, sub * nCodes + code + 1)),
+        lit(0.0), (a, x) => a + x)))
+      .withColumn("score", when(col("rnorm") * col("qnorm") === 0.0, lit(0.0))
+        .otherwise(col("dotq") / (col("qnorm") * col("rnorm"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("score"), 3).as("pq_score"))
+  }
+
   /** The buckets nearDupPairs capped (bucket, bkt_n > cap) — count/log
     * this next to any capped run so the star-pairing lossiness (see
     * nearDupPairs caveat) is never silent. */

@@ -795,6 +795,49 @@ class OpsSpec extends SparkTestBase {
     assert(rTrained >= 0.9, s"trained codebook recall $rTrained")
   }
 
+  test("pqEncode kernel == columnar pqEncodeColumn, code for code") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(41L)
+    val vs = (0L until 120L).map(i => (i, Array.fill(64)((rng.nextDouble() - 0.5).toFloat)))
+    val corpus = vs.toDF("vec_id", "embedding")
+    val books = Similarity.fitPqCodebooks(corpus, dim = 64, m = 8, k = 8, iters = 2)
+    val columnar = corpus
+      .select(col("vec_id"), Similarity.pqEncodeColumn(col("embedding"), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    vs.foreach { case (id, v) =>
+      assert(Similarity.pqEncode(v, books).sameElements(columnar(id)), s"vec $id")
+    }
+  }
+
+  test("PQ-ADC ANN: recall vs brute is high on product-structured data") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(43L)
+    // PQ's designed regime is PRODUCT structure: each 8-dim subspace
+    // independently near one of 8 sub-centers (8^8 distinct code vectors,
+    // tiny reconstruction error). Globally-clustered data instead
+    // collapses whole clusters onto ONE code vector and ADC can't rank
+    // within a cluster — so we test the regime the operator is for.
+    val subCenters = Array.fill(8, 8)(Array.fill(8)((rng.nextDouble() - 0.5).toFloat * 2f))
+    val vs = (0L until 400L).map { i =>
+      val v = new Array[Float](64)
+      for (sub <- 0 until 8) {
+        val c = subCenters(sub)(rng.nextInt(8))
+        for (d <- 0 until 8) v(sub * 8 + d) = c(d) + (rng.nextDouble() - 0.5).toFloat * 0.05f
+      }
+      (i, v)
+    }
+    val corpus = vs.toDF("vec_id", "embedding")
+    val q = vs.take(10).toDF("qid", "qvec")
+    val books = Similarity.fitPqCodebooks(corpus, dim = 64, m = 8, k = 8, iters = 3)
+    val brute = Similarity.bruteForceTopK(q, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(q, corpus, dim = 64, books, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(s"PQ recall vs brute = $recall")
+    assert(recall >= 0.8, s"PQ recall $recall below floor")
+  }
+
   test("IVF ANN: self-match always found; recall vs brute force is high") {
     import spark.implicits._
     val rng = new graft.pipeline.Rng(23L)
