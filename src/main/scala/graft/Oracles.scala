@@ -657,14 +657,25 @@ object Oracles {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2"""
   }
 
+  /** REAL JDK-decode + resize oracle (PNG is lossless, so the formula
+    * holds exactly): nearest-neighbor source coordinates (x·w÷4, y·h÷3)
+    * re-derived per output pixel, means from the generator formula at
+    * those coordinates — agrees only if the inflate decode, row order
+    * AND the decimation arithmetic are all right. */
   val qMultimodalResize: String =
-    s"""SELECT img_id, width, height, channels,
-        CAST(floor(width * (CASE WHEN greatest(width, height) > 256
-          THEN 256 / greatest(width, height)::DOUBLE ELSE 1.0::DOUBLE END)) AS INT) AS out_width,
-        CAST(floor(height * (CASE WHEN greatest(width, height) > 256
-          THEN 256 / greatest(width, height)::DOUBLE ELSE 1.0::DOUBLE END)) AS INT) AS out_height,
-        label
-        FROM ${inp("images_meta")}"""
+    s"""WITH imgs AS (SELECT img_id, 4 + img_id % 5 AS w, 3 + img_id % 4 AS h
+          FROM ${inp("bmp_ids")}),
+        p AS (SELECT img_id, w, h, ux.x AS x, uy.y AS y
+              FROM imgs, unnest(range(4)) AS ux(x), unnest(range(3)) AS uy(y)),
+        s AS (SELECT img_id, (x * w) // 4 AS sx, (y * h) // 3 AS sy FROM p),
+        m AS (SELECT img_id,
+          avg(CAST((sx*7 + sy*13 + img_id) % 256 AS DOUBLE)) AS mr,
+          avg(CAST((sx*3 + sy*5 + 2*img_id) % 256 AS DOUBLE)) AS mg,
+          avg(CAST((sx*11 + sy + 3*img_id) % 256 AS DOUBLE)) AS mb
+        FROM s GROUP BY img_id)
+        SELECT img_id, 4 AS out_w, 3 AS out_h,
+          round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
+        FROM m"""
 
   /** Frame-sampling plan re-derived from the dumped decoded metadata:
     * frames 0, 30, 60, … < n_frames with floor timestamps. */
@@ -676,17 +687,27 @@ object Oracles {
                 fps_x100, width, height, label
               FROM ${inp("videos_meta")})"""
 
-  /** Audio segmentation plan re-derived from the dumped decoded
-    * metadata: ceil(n_samples / (rate*5)) windows, last one ragged. */
+  /** REAL WAV segmentation oracle: the formula samples
+    * s_i = ((i·37 + id·101) % 4096) − 2048 are windowed into 512-sample
+    * segments (last ragged) and each segment's exact integer sums are
+    * re-derived — agrees only if the engine's PCM decode AND windowing
+    * are both bit-right. */
   val qMultimodalSegments: String =
-    s"""SELECT audio_id, CAST(seg_idx AS INT) AS seg_idx,
-          CAST(seg_idx * seg_samples AS INT) AS start_sample,
-          CAST(least(seg_idx * seg_samples + seg_samples, n_samples) AS INT) AS end_sample,
-          sample_rate, channels, label
-        FROM (SELECT audio_id, sample_rate, channels, label, n_samples,
-                sample_rate * 5 AS seg_samples,
-                unnest(range(0, CAST(floor((n_samples - 1) / (sample_rate * 5)) AS BIGINT) + 1)) AS seg_idx
-              FROM ${inp("audio_meta")})"""
+    s"""WITH a AS (SELECT img_id AS audio_id,
+          8000 + (img_id % 3) * 4000 AS rate,
+          800 + (img_id % 5) * 400 AS ns FROM ${inp("bmp_ids")}),
+        s AS (SELECT audio_id, rate, u.i AS i, u.i // 512 AS seg_idx,
+            ((u.i * 37 + audio_id * 101) % 4096) - 2048 AS v
+          FROM a, unnest(range(ns)) AS u(i)),
+        m AS (SELECT audio_id, seg_idx, min(rate) AS rate, count(*) AS n,
+            sum(v) AS sv, sum(v * v) AS svq
+          FROM s GROUP BY audio_id, seg_idx)
+        SELECT audio_id, CAST(seg_idx AS INT) AS seg_idx,
+          CAST(seg_idx * 512 AS INT) AS start_sample,
+          CAST(n AS INT) AS seg_len, CAST(rate AS INT) AS sample_rate,
+          round(CAST(sv AS DOUBLE) / n, 4) AS mean_amp,
+          round(sqrt(CAST(svq AS DOUBLE) / n), 4) AS rms
+        FROM m"""
 
   /** REAL-decode BMP oracle: dimensions and channel means re-derived
     * from the generator's pixel formula over the dumped id list — the

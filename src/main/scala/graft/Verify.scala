@@ -83,12 +83,8 @@ object Verify {
     w(Corpus.kb(spark).toDF, "kb")
     w(DocRed.corpus(spark, n / 10).toDF, "docred")
     w(sources.DocRedJson.docs(spark), "docred_real")
-    w(ops.Multimodal.decode(
-      ops.Multimodal.images(spark, SparkEntry.imagesFor(sfDir))).toDF, "images_meta")
     w(ops.Multimodal.decodeVideo(
       ops.Multimodal.videos(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "videos_meta")
-    w(ops.Multimodal.decodeAudio(
-      ops.Multimodal.audios(spark, SparkEntry.imagesFor(sfDir) / 5)).toDF, "audio_meta")
     // BMP corpus ids only — the oracle re-derives w/h and pixel means
     // from the id formula, independently of the encoded bytes
     w(ops.Multimodal.bmpImages(spark, SparkEntry.imagesFor(sfDir) / 5)

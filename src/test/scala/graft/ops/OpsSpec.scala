@@ -856,22 +856,26 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.6, s"ivf recall $recall")
   }
 
-  test("multimodal: decode parses fake header; resize preserves aspect; features normalized") {
-    val imgs = Multimodal.images(spark, 50)
-    val dec = Multimodal.decode(imgs)
-    val rows = dec.collect()
-    assert(rows.length == 50)
-    assert(rows.forall(r => r.width >= 64 && r.height >= 64 && r.channels == 3))
-    val resized = Multimodal.resizeMeta(dec, 256).collect()
-    resized.foreach { r =>
-      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
-      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
-      assert(math.max(ow, oh) <= 256)
-      if (math.max(w, h) <= 256) assert(ow == w && oh == h)
+  test("multimodal: real PNG decode + nearest resize matches the formula at sampled coords") {
+    val imgs = Multimodal.codecImages(spark, 20, "png")
+    val rows = Multimodal.jdkResizedMeans(imgs, outW = 4, outH = 3).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 4 && r.getInt(2) == 3)
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      val f = Multimodal.formulaRgb(id)
+      // expected means from the formula at the decimation's source coords
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      for (y <- 0 until 3; x <- 0 until 4) {
+        val (pr, pg, pb) = f(x * w / 4, y * h / 3)
+        sr += pr; sg += pg; sb += pb
+      }
+      def r4(x: Double) =
+        BigDecimal(x / 12).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == r4(sr) && r.getDouble(4) == r4(sg) &&
+        r.getDouble(5) == r4(sb), s"img $id")
     }
-    val feats = Multimodal.features(imgs).collect()
-    assert(feats.forall(f => f.features.length == 16 &&
-      math.abs(f.features.sum - 1f) < 1e-3))
   }
 
   test("video frame sampling: stride/timestamp plan over the stubbed container decode") {
@@ -892,24 +896,27 @@ class OpsSpec extends SparkTestBase {
     f30.foreach(r => assert(r.getLong(2) == 1250L))
   }
 
-  test("audio segmentation: ceil-count windows, last segment ragged") {
-    val aud = Multimodal.audios(spark, 30)
-    val dec = Multimodal.decodeAudio(aud).collect()
-    assert(dec.length == 30)
-    val segs = Multimodal.segment(Multimodal.decodeAudio(aud), 5).collect()
+  test("audio segmentation: real WAV decode, ceil-count windows, exact segment sums") {
+    val aud = Multimodal.wavAudios(spark, 15)
+    val segs = Multimodal.wavSegmentStats(aud, segSamples = 512).collect()
     val byId = segs.groupBy(_.getLong(0))
-    dec.foreach { a =>
-      val ss = byId(a.audio_id).sortBy(_.getInt(1))
-      val segSamples = a.sample_rate * 5
-      val want = (a.n_samples + segSamples - 1) / segSamples // ceil
-      assert(ss.length == want, s"audio ${a.audio_id}")
-      // contiguous cover of [0, n_samples)
-      assert(ss.head.getInt(2) == 0)
-      assert(ss.last.getInt(3) == a.n_samples)
-      ss.sliding(2).foreach {
-        case Array(x, y) => assert(x.getInt(3) == y.getInt(2))
-        case _ => ()
-      }
+    (0L until 15L).foreach { id =>
+      val ns = (800 + (id % 5) * 400).toInt
+      val ss = byId(id).sortBy(_.getInt(1))
+      assert(ss.length == (ns + 511) / 512, s"audio $id") // ceil windows
+      // contiguous cover of [0, ns): starts step by 512, lengths sum to ns
+      ss.zipWithIndex.foreach { case (r, i) => assert(r.getInt(2) == i * 512) }
+      assert(ss.map(_.getInt(3)).sum == ns)
+      assert(ss.forall(_.getInt(4) == (8000 + (id % 3) * 4000).toInt))
+      // exact stats of the FIRST segment re-derived from the formula
+      val vals = (0 until math.min(512, ns)).map(i =>
+        (((i * 37L + id * 101L) % 4096L) - 2048L))
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val n = vals.length.toDouble
+      assert(ss.head.getDouble(5) == r4(vals.sum / n), s"mean audio $id")
+      assert(ss.head.getDouble(6) == r4(math.sqrt(vals.map(v => v * v).sum / n)),
+        s"rms audio $id")
     }
   }
 
