@@ -536,6 +536,58 @@ object Oracles {
           round(CAST(cum AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS coverage
         FROM r CROSS JOIN tot"""
 
+  /** BPE-merge oracle: the fixed 6-iteration merge loop UNROLLED in
+    * SQL (generated CTE chain, one block per iteration). Each block
+    * re-derives (1) weighted adjacent-pair counts via lead() —
+    * overlapping occurrences included, the learn_bpe convention, (2)
+    * the argmax pair under (count DESC, lsym ASC, rsym ASC), and (3)
+    * greedy left-to-right merge application: for lsym ≠ rsym every
+    * occurrence merges (occurrences cannot overlap); for lsym = rsym a
+    * gaps-and-islands row_number pairs EVEN offsets within each
+    * maximal run with their successors — exactly the kernel loop's
+    * left-to-right scan. Vocabulary capped at the same top-200
+    * (cnt DESC, word ASC) cut as the engine. */
+  val qBpeMerges: String = {
+    val n = 6
+    val iterCtes = (0 until n).map { i =>
+      s"""prs$i AS (SELECT word, cnt, sym,
+            lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM seg$i),
+        pc$i AS (SELECT sym AS l, nxt AS r, sum(cnt) AS c FROM prs$i
+                 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+        b$i AS (SELECT l, r, c FROM pc$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        mk$i AS (SELECT s.word, s.cnt, s.pos, s.sym, b.l, b.r,
+            lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+            lag(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS prv,
+            row_number() OVER (PARTITION BY s.word ORDER BY s.pos)
+              - row_number() OVER (PARTITION BY s.word, s.sym ORDER BY s.pos) AS isl
+          FROM seg$i s CROSS JOIN b$i b),
+        mo$i AS (SELECT *, row_number() OVER (PARTITION BY word, sym, isl
+            ORDER BY pos) - 1 AS off FROM mk$i),
+        fl$i AS (SELECT word, cnt, pos, sym, l, r,
+            CASE WHEN l <> r THEN sym = l AND coalesce(nxt, '') = r
+                 ELSE sym = l AND off % 2 = 0 AND coalesce(nxt, '') = l END AS ms,
+            CASE WHEN l <> r THEN sym = r AND coalesce(prv, '') = l
+                 ELSE sym = l AND off % 2 = 1 END AS cons
+          FROM mo$i),
+        seg${i + 1} AS (SELECT word, cnt,
+            row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+            CASE WHEN ms THEN l || r ELSE sym END AS sym
+          FROM fl$i WHERE NOT cons)"""
+    }.mkString(",\n        ")
+    val unions = (0 until n).map(i =>
+      s"SELECT $i AS merge_idx, l AS lsym, r AS rsym, CAST(c AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH wc AS (SELECT word, count(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        v AS (SELECT word, cnt FROM wc
+              QUALIFY row_number() OVER (ORDER BY cnt DESC, word ASC) <= 200),
+        seg0 AS (SELECT word, cnt, unnest(range(len(cs))) AS pos, unnest(cs) AS sym
+                 FROM (SELECT word, cnt, string_split(word, '') AS cs FROM v)),
+        $iterCtes
+        $unions"""
+  }
+
   /** Bigram-LM score oracle: the same add-one-smoothed model re-trained
     * in SQL (bigram/context counts + vocabulary size), docs re-scored
     * by mean ln P — Spark's log and DuckDB's ln may differ by an ulp
@@ -1489,6 +1541,7 @@ object Oracles {
     "q_lm_score" -> qLmScore,
     "q_data_split" -> qDataSplit,
     "q_vocab_coverage" -> qVocabCoverage,
+    "q_bpe_merges" -> qBpeMerges,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

@@ -476,6 +476,14 @@ object SparkEntry {
     "q_vocab_coverage" -> ((s, dir) => {
       ops.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", 100)
     }),
+    // BPE-merge tokenizer training: 6 learned merges over the top-200
+    // word-frequency table (corpus pays one tokenize+agg; the merge
+    // loop is driver-side on the vocabulary-sized table — the k-means
+    // codebook tier); oracle unrolls the same 6 iterations in SQL
+    "q_bpe_merges" -> ((s, dir) => {
+      ops.TextAnalysis.bpeMerges(t(s, dir, "documents"), "text",
+        vocabK = 200, nMerges = 6)
+    }),
     // corpus-trained bigram LM scoring (the perplexity-filter shape):
     // add-one-smoothed transitions trained on the corpus itself, docs
     // scored by mean bigram log-probability

@@ -174,6 +174,76 @@ object TextAnalysis {
       () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(counts); () })
   }
 
+  /** BPE-merge tokenizer training (Sennrich et al. 2016, the
+    * subword-nmt `learn_bpe` shape): words become character sequences,
+    * then `nMerges` iterations each (1) count every adjacent symbol
+    * pair weighted by word frequency — overlapping occurrences
+    * included, the original convention — (2) pick the most frequent
+    * pair (ties: smaller left, then right symbol) and (3) merge it in
+    * every word, greedy left-to-right (so a run of k identical symbols
+    * yields floor(k/2) merges at even offsets).
+    *
+    * Scale shape: the corpus pays ONE tokenize + word-keyed
+    * aggregation; the word-frequency table is then capped at the top
+    * `vocabK` words (TakeOrdered — bounded, observable truncation) and
+    * the merge loop runs DRIVER-SIDE on that vocabulary-sized table —
+    * the k-means-codebook tier: at 100 TB the corpus scan is the cost,
+    * the loop touches only |vocab| * |word| symbols per iteration and
+    * never re-reads the corpus. Returns one row per learned merge:
+    * (merge_idx, lsym, rsym, pair_count). */
+  def bpeMerges(df: DataFrame, textCol: String, vocabK: Int,
+      nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(vocabK)
+      .as[(String, Long)].collect()
+    bpeTrain(vocab, nMerges).toSeq
+      .toDF("merge_idx", "lsym", "rsym", "pair_count")
+  }
+
+  /** The exact driver BPE loop over a (word, count) vocabulary —
+    * pure function, equivalence-tested against the unrolled SQL oracle
+    * via q_bpe_merges. Stops early when no adjacent pair remains. */
+  def bpeTrain(vocab: Seq[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words: Vector[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.toCharArray.map(_.toString), c) }.toVector
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var it = 0
+    var done = false
+    while (it < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((it, l, r, c))
+        words = words.map { case (syms, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, cnt)
+        }
+        it += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Corpus-trained bigram language-model scoring — the
     * perplexity-filter stage of CCNet/KenLM-style pipelines: train
     * add-one-smoothed bigram probabilities on the corpus itself, then

@@ -515,6 +515,31 @@ class OpsSpec extends SparkTestBase {
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("bpeMerges: hand-computed merges on the classic fixture; run parity; early stop") {
+    import spark.implicits._
+    // word counts: low=5 lower=2 newest=6 widest=3 (the subword-nmt demo)
+    val d = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest widest widest widest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(d, "text", vocabK = 100, nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // iter0: (e,s)=9 ties (s,t)=9, smaller left wins; iter1: (es,t)=9;
+    // iter2: (l,o)=7 ties (o,w)=7
+    assert(got.toSeq == Seq((0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L)),
+      got.mkString(","))
+    // identical-symbol runs merge greedily left-to-right: "aaaaa" has 4
+    // overlapping (a,a) occurrences but merges to [aa, aa, a]; then
+    // (aa,aa)=3 ties (aa,a)=3 and the smaller RIGHT symbol wins; merging
+    // (aa,a) left-to-right gives [aa, aaa] (the first aa's next is aa)
+    val runs = TextAnalysis.bpeTrain(Seq(("aaaaa", 3L)), 3)
+    assert(runs == Seq((0, "a", "a", 12L), (1, "aa", "a", 3L), (2, "aa", "aaa", 3L)),
+      runs.toString)
+    // early stop when nothing is left to merge
+    assert(TextAnalysis.bpeTrain(Seq(("ab", 1L)), 5).length == 1)
+    assert(TextAnalysis.bpeTrain(Seq(("a", 1L)), 5).isEmpty)
+  }
+
   test("lmScore: fluent in-corpus transitions outscore gibberish; counts exact") {
     import spark.implicits._
     val fluent = "the cat sat on the mat"
