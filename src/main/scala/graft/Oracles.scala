@@ -547,8 +547,12 @@ object Oracles {
     * maximal run with their successors — exactly the kernel loop's
     * left-to-right scan. Vocabulary capped at the same top-200
     * (cnt DESC, word ASC) cut as the engine. */
-  val qBpeMerges: String = {
-    val n = 6
+  /** The unrolled BPE TRAINING chain shared by qBpeMerges and
+    * qBpeEncode: CTEs wc (word counts) → v (top-200 cut) → seg0 (chars)
+    * → per-iteration blocks yielding b$i (the i-th learned merge) and
+    * seg${i+1} (the vocab after applying it). Returns the comma-joined
+    * CTE bodies (no WITH keyword). */
+  private def bpeTrainChain(n: Int): String = {
     val iterCtes = (0 until n).map { i =>
       s"""prs$i AS (SELECT word, cnt, sym,
             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM seg$i),
@@ -574,18 +578,67 @@ object Oracles {
             CASE WHEN ms THEN l || r ELSE sym END AS sym
           FROM fl$i WHERE NOT cons)"""
     }.mkString(",\n        ")
-    val unions = (0 until n).map(i =>
-      s"SELECT $i AS merge_idx, l AS lsym, r AS rsym, CAST(c AS BIGINT) AS pair_count FROM b$i")
-      .mkString("\n        UNION ALL ")
-    s"""WITH wc AS (SELECT word, count(*) AS cnt
+    s"""wc AS (SELECT word, count(*) AS cnt
           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           WHERE word <> '' GROUP BY word),
         v AS (SELECT word, cnt FROM wc
               QUALIFY row_number() OVER (ORDER BY cnt DESC, word ASC) <= 200),
         seg0 AS (SELECT word, cnt, unnest(range(len(cs))) AS pos, unnest(cs) AS sym
                  FROM (SELECT word, cnt, string_split(word, '') AS cs FROM v)),
-        $iterCtes
+        $iterCtes"""
+  }
+
+  val qBpeMerges: String = {
+    val n = 6
+    val unions = (0 until n).map(i =>
+      s"SELECT $i AS merge_idx, l AS lsym, r AS rsym, CAST(c AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH ${bpeTrainChain(n)}
         $unions"""
+  }
+
+  /** BPE-encode oracle: re-trains the 6 merges with the same unrolled
+    * chain, then APPLIES them to every distinct corpus word with the
+    * identical greedy-merge machinery (esg0..esg6 mirror seg0..seg6,
+    * reading the learned pair from b$i instead of re-deriving it), and
+    * rolls per-word subword counts up to per-document totals. Docs with
+    * no nonempty words emit no row — the engine's flatMap semantics. */
+  val qBpeEncode: String = {
+    val n = 6
+    val encCtes = (0 until n).map { i =>
+      s"""emk$i AS (SELECT s.word, s.pos, s.sym, b.l, b.r,
+            lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+            lag(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS prv,
+            row_number() OVER (PARTITION BY s.word ORDER BY s.pos)
+              - row_number() OVER (PARTITION BY s.word, s.sym ORDER BY s.pos) AS isl
+          FROM esg$i s CROSS JOIN b$i b),
+        emo$i AS (SELECT *, row_number() OVER (PARTITION BY word, sym, isl
+            ORDER BY pos) - 1 AS off FROM emk$i),
+        efl$i AS (SELECT word, pos, sym, l, r,
+            CASE WHEN l <> r THEN sym = l AND coalesce(nxt, '') = r
+                 ELSE sym = l AND off % 2 = 0 AND coalesce(nxt, '') = l END AS ms,
+            CASE WHEN l <> r THEN sym = r AND coalesce(prv, '') = l
+                 ELSE sym = l AND off % 2 = 1 END AS cons
+          FROM emo$i),
+        esg${i + 1} AS (SELECT word,
+            row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+            CASE WHEN ms THEN l || r ELSE sym END AS sym
+          FROM efl$i WHERE NOT cons)"""
+    }.mkString(",\n        ")
+    s"""WITH ${bpeTrainChain(n)},
+        dw AS (SELECT doc_id, word
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+               WHERE word <> ''),
+        uw AS (SELECT DISTINCT word FROM dw),
+        esg0 AS (SELECT word, unnest(range(len(cs))) AS pos, unnest(cs) AS sym
+                 FROM (SELECT word, string_split(word, '') AS cs FROM uw)),
+        $encCtes,
+        wt AS (SELECT word, CAST(count(*) AS BIGINT) AS ntok
+               FROM esg$n GROUP BY word)
+        SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(wt.ntok) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN wt USING (word) GROUP BY dw.doc_id"""
   }
 
   /** Bigram-LM score oracle: the same add-one-smoothed model re-trained
@@ -1542,6 +1595,7 @@ object Oracles {
     "q_data_split" -> qDataSplit,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_encode" -> qBpeEncode,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

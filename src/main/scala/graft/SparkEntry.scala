@@ -168,6 +168,25 @@ object SparkEntry {
         ops.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")))
   }
 
+  /** Per-JVM memoized BPE fit (top-200 vocab, 6 merges) — TRAINED once
+    * and shared by q_bpe_merges (reports the learned merge list) and
+    * q_bpe_encode (applies it to every document), so the corpus
+    * tokenize+agg and the driver merge loop run once per JVM, the same
+    * train/apply sharing as ivfCentroidsFor. Keyed injectively on the
+    * raw dir (the clustersFor md5-suffix scheme). */
+  private val bpeFitCache =
+    scala.collection.mutable.HashMap.empty[String, Seq[(Int, String, String, Long)]]
+  def bpeFitFor(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeFitCache.synchronized {
+      val raw = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      bpeFitCache.getOrElseUpdate(s"bpe_$raw", {
+        ops.TextAnalysis.bpeTrain(
+          ops.TextAnalysis.bpeVocab(t(s, dir, "documents"), "text", 200), 6)
+      })
+    }
+
   /** Force every SHARED per-JVM artifact (the extract-once checkpoints
     * and the memoized IVF codebook reused across many queries) so
     * per-query bench numbers measure the QUERY, not whichever query
@@ -481,8 +500,17 @@ object SparkEntry {
     // loop is driver-side on the vocabulary-sized table — the k-means
     // codebook tier); oracle unrolls the same 6 iterations in SQL
     "q_bpe_merges" -> ((s, dir) => {
-      ops.TextAnalysis.bpeMerges(t(s, dir, "documents"), "text",
-        vocabK = 200, nMerges = 6)
+      import s.implicits._
+      bpeFitFor(s, dir).toDF("merge_idx", "lsym", "rsym", "pair_count")
+    }),
+    // tokenizer APPLICATION: encode every document with the trained
+    // merge list (model-sized, broadcast) — per-doc word and BPE-token
+    // counts, the number a token-budget pipeline bills against. One
+    // narrow scan, no shuffle/join; shares the per-JVM fit with
+    // q_bpe_merges so train happens once
+    "q_bpe_encode" -> ((s, dir) => {
+      ops.TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+        bpeFitFor(s, dir).map(m => (m._2, m._3)))
     }),
     // corpus-trained bigram LM scoring (the perplexity-filter shape):
     // add-one-smoothed transitions trained on the corpus itself, docs

@@ -195,13 +195,24 @@ object TextAnalysis {
       nMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
+    bpeTrain(bpeVocab(df, textCol, vocabK), nMerges).toSeq
+      .toDF("merge_idx", "lsym", "rsym", "pair_count")
+  }
+
+  /** The top-`vocabK` (cnt DESC, word ASC) word-frequency table the BPE
+    * fit trains on — one corpus tokenize + word-keyed aggregation, then
+    * a bounded TakeOrdered collect (vocabulary-sized by construction).
+    * Public so callers that both TRAIN and APPLY (q_bpe_merges /
+    * q_bpe_encode) can memoize ONE fit per JVM instead of paying the
+    * corpus scan twice. */
+  def bpeVocab(df: DataFrame, textCol: String, vocabK: Int): Seq[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc).limit(vocabK)
-      .as[(String, Long)].collect()
-    bpeTrain(vocab, nMerges).toSeq
-      .toDF("merge_idx", "lsym", "rsym", "pair_count")
+      .as[(String, Long)].collect().toSeq
   }
 
   /** The exact driver BPE loop over a (word, count) vocabulary —
@@ -242,6 +253,77 @@ object TextAnalysis {
       }
     }
     merges.result()
+  }
+
+  /** Encode one word with a trained merge list: chars → fold the merges
+    * in RANK order, each applied with the exact greedy left-to-right
+    * scan of `bpeTrain`'s merge step. One rank-order pass is the full
+    * encode (not an approximation): merges only FUSE tokens, so once a
+    * pair (l, r) has been merged everywhere, no later merge can create
+    * a new token equal to `l` or make existing `l`/`r` tokens newly
+    * adjacent — the pair can never reappear, and the "repeat until no
+    * merge applies" loop of the original subword-nmt `apply_bpe`
+    * degenerates to exactly this replay of the training order. */
+  def bpeApply(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.toCharArray.map(_.toString)
+    merges.foreach { case (l, r) =>
+      if (syms.length > 1) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
+  /** Apply a trained BPE merge list to the corpus — the tokenizer
+    * APPLICATION half of the train/apply pair (q_bpe_merges trains;
+    * this encodes): every document's words are segmented with the
+    * merges and the per-document subword token count is reported,
+    * the number a token-budget pipeline actually bills against.
+    *
+    * Scale shape: the merge list is model-sized (broadcast); encoding
+    * is a single narrow mapPartitions scan — NO shuffle, NO join. A
+    * per-partition word→count cache makes the Zipfian common case
+    * (the same words repeating across documents) an O(1) hash probe,
+    * so per-occurrence cost collapses toward the distinct-word count
+    * per partition. Documents with no words emit no row (the oracle's
+    * inner-join semantics). Returns (idCol, n_words, n_bpe_tokens). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value.toSeq
+        val cache = new java.util.HashMap[String, Integer]()
+        it.flatMap { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          var nWords = 0L
+          var nTok = 0L
+          text.split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              nWords += 1
+              var c = cache.get(w)
+              if (c == null) {
+                c = Integer.valueOf(bpeApply(w, ms).length)
+                cache.put(w, c)
+              }
+              nTok += c.intValue()
+            }
+          }
+          if (nWords == 0) Iterator.empty
+          else Iterator.single((id, nWords, nTok))
+        }
+      }
+      .toDF(idCol, "n_words", "n_bpe_tokens")
   }
 
   /** Corpus-trained bigram language-model scoring — the

@@ -540,6 +540,28 @@ class OpsSpec extends SparkTestBase {
     assert(TextAnalysis.bpeTrain(Seq(("a", 1L)), 5).isEmpty)
   }
 
+  test("bpeApply/bpeEncode: rank-order replay; per-doc rollup; empty docs drop") {
+    import spark.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    assert(TextAnalysis.bpeApply("newest", merges).toSeq ==
+      Seq("n", "e", "w", "est"))
+    assert(TextAnalysis.bpeApply("lowest", merges).toSeq ==
+      Seq("lo", "w", "est"))
+    assert(TextAnalysis.bpeApply("low", merges).toSeq == Seq("lo", "w"))
+    // identical-symbol runs replay training's greedy left-to-right scan:
+    // "aaaaa" re-fuses fully under its own merges; "aaaa" stops at
+    // [aa, aa] because (aa,a) and (aa,aaa) never match
+    val runMerges = TextAnalysis.bpeTrain(Seq(("aaaaa", 3L)), 3).map(m => (m._2, m._3))
+    assert(TextAnalysis.bpeApply("aaaaa", runMerges).toSeq == Seq("aaaaa"))
+    assert(TextAnalysis.bpeApply("aaaa", runMerges).toSeq == Seq("aa", "aa"))
+    val d = Seq((1L, "low lowest"), (2L, ""), (3L, "   "), (4L, "newest est"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(d, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // low=[lo,w] lowest=[lo,w,est]; newest=[n,e,w,est] est=[est]
+    assert(got.toSeq == Seq((1L, 2L, 5L), (4L, 2L, 5L)), got.mkString(","))
+  }
+
   test("lmScore: fluent in-corpus transitions outscore gibberish; counts exact") {
     import spark.implicits._
     val fluent = "the cat sat on the mat"
