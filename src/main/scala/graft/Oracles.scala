@@ -641,6 +641,50 @@ object Oracles {
         FROM dw JOIN wt USING (word) GROUP BY dw.doc_id"""
   }
 
+  /** Sessionize oracle: the identical lag → gap flag → running-sum →
+    * per-session rollup, all in exact integer microseconds (epoch_us
+    * == Spark's unix_micros); ties at one ts order by event_id. */
+  val qSessionize: String =
+    s"""WITH x AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+        g AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+              OR us - prev > 21600000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_idx FROM x)
+        SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+          min(ts) AS sess_start, max(ts) AS sess_end,
+          CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+          round(sum(value), 2) AS sum_value
+        FROM g GROUP BY user_id, session_idx"""
+
+  /** DSIR-weights oracle: same md5→60-bit bucket hashing (the verified
+    * conv equivalence), same add-one-smoothed target/source bucket
+    * distributions, same per-doc log-ratio rollup; ln vs log ulp
+    * differences absorbed by round(4) (the lmScore precedent). */
+  val qDsirWeights: String =
+    s"""WITH toks AS (SELECT doc_id,
+          (source = 'src0') AS is_target,
+          ('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS bucket
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''),
+        c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_src,
+                CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+              FROM toks GROUP BY bucket),
+        t AS (SELECT CAST(sum(c_src) AS BIGINT) AS t_src,
+                CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM c),
+        m AS (SELECT bucket,
+                ln((c_tgt + 1)::DOUBLE / (t_tgt + 64))
+                  - ln((c_src + 1)::DOUBLE / (t_src + 64)) AS logratio
+              FROM c CROSS JOIN t)
+        SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          round(sum(m.logratio), 4) AS dsir_sum,
+          round(avg(m.logratio), 4) AS dsir_mean
+        FROM toks JOIN m USING (bucket) GROUP BY toks.doc_id"""
+
   /** Bigram-LM score oracle: the same add-one-smoothed model re-trained
     * in SQL (bigram/context counts + vocabulary size), docs re-scored
     * by mean ln P — Spark's log and DuckDB's ln may differ by an ulp
@@ -1596,6 +1640,8 @@ object Oracles {
     "q_vocab_coverage" -> qVocabCoverage,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_encode" -> qBpeEncode,
+    "q_sessionize" -> qSessionize,
+    "q_dsir_weights" -> qDsirWeights,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

@@ -201,6 +201,8 @@ object SparkEntry {
     pagesTsFor(s, dir).count()
     clustersFor(s, dir).count()
     ivfCentroidsFor(s, dir)
+    pqCodebooksFor(s, dir)
+    bpeFitFor(s, dir)
     ()
   }
 
@@ -512,6 +514,13 @@ object SparkEntry {
       ops.TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
         bpeFitFor(s, dir).map(m => (m._2, m._3)))
     }),
+    // DSIR-shape importance weights: hashed-unigram log(p_tgt/p_src)
+    // per doc, target slice = the src0 domain (the "Wikipedia" role);
+    // model is a 64-row conditional agg, scoring a broadcast join
+    "q_dsir_weights" -> ((s, dir) => {
+      ops.TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", buckets = 64)
+    }),
     // corpus-trained bigram LM scoring (the perplexity-filter shape):
     // add-one-smoothed transitions trained on the corpus itself, docs
     // scored by mean bigram log-probability
@@ -781,6 +790,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("w.start").as("win_start"), col("event_type"),
           col("n_events"), col("sum_value"))
+    }),
+    // gap-based sessionization (6h gap): one user-keyed shuffle, exact
+    // integer-microsecond time math, per-session rollup
+    "q_sessionize" -> ((s, dir) => {
+      ops.Events.sessionStats(t(s, dir, "events"), "user_id", "event_id",
+        "ts", "value", gapSeconds = 21600L)
     }),
     // J8: cross-document entity intersection (shared subjects between
     // two halves of the corpus) — self-join flavored set op

@@ -387,6 +387,50 @@ object TextAnalysis {
       () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ex); () })
   }
 
+  /** DSIR-shape data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-unigram
+    * importance weights. Words hash into `buckets` feature buckets
+    * (the md5→conv 60-bit toolbox, deterministic across engines);
+    * add-one-smoothed bucket distributions are estimated for the
+    * TARGET slice (rows satisfying `targetPred` — e.g. a trusted
+    * domain, the DSIR "Wikipedia" role) and for the full SOURCE
+    * corpus, and every document scores the sum/mean of per-token
+    * log(p_target/p_source) — the log importance weight a
+    * quality-resampling stage keeps/drops on.
+    *
+    * Scale shape: the model is ONE conditional aggregation to a
+    * `buckets`-row table (both distributions from the same scan),
+    * totals folded lazily via 1-row agg crossJoins (the lmScore V
+    * pattern — constructing fires zero jobs); scoring re-joins the
+    * token stream to the bucket table with an explicit broadcast and
+    * rolls up per doc. The tokenize+hash lineage is recomputed once
+    * per branch (counts, scoring) — kept cheap and narrow by design,
+    * the documented bucket-cap pattern. Docs with no nonempty tokens
+    * emit no row. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame = {
+    val toks = df.select(col(idCol), targetPred.as("is_target"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col(idCol), col("is_target"),
+        pmod(conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+    val counts = toks.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_src"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(sum(col("c_src")).as("t_src"),
+      sum(col("c_tgt")).as("t_tgt"))
+    val model = counts.crossJoin(totals).select(col("bucket"),
+      (log((col("c_tgt") + 1).cast("double") / (col("t_tgt") + buckets)) -
+        log((col("c_src") + 1).cast("double") / (col("t_src") + buckets)))
+        .as("logratio"))
+    toks.join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("logratio")), 4).as("dsir_sum"),
+        round(avg(col("logratio")), 4).as("dsir_mean"))
+  }
+
   /** Per-document top-k keywords by TF-IDF: tf = in-doc term count,
     * df = documents containing the term, idf = ln(N/df), ranked
     * (tfidf desc, token asc) per document. Shapes: explode + two hash

@@ -562,6 +562,55 @@ class OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 5L), (4L, 2L, 5L)), got.mkString(","))
   }
 
+  test("sessionize/sessionStats: gap splits sessions; exact us math; boundary inclusive") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00.000001"), 1.0),
+      (2L, 10L, ts("2024-01-01 00:30:00.0"), 2.0),       // 30m gap, same session
+      (3L, 10L, ts("2024-01-01 02:00:00.0"), 3.0),       // 90m gap, NEW session
+      (4L, 20L, ts("2024-01-01 00:00:00.0"), 4.0),
+      (5L, 20L, ts("2024-01-01 01:00:00.0"), 5.0),       // exactly 3600s: same (strict >)
+      (6L, 20L, ts("2024-01-01 02:00:00.000001"), 6.0))  // 3600s + 1us: NEW
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Events.sessionStats(ev, "user_id", "event_id", "ts", "value", 3600L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getDouble(6)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (10L, 1L, 2L, 1799999999L, 3.0),   // duration exact to the microsecond
+      (10L, 2L, 1L, 0L, 3.0),
+      (20L, 1L, 2L, 3600000000L, 9.0),
+      (20L, 2L, 1L, 0L, 6.0)), got.mkString(","))
+  }
+
+  test("dsirWeights: target-like docs outscore source-typical; exact smoothing") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha alpha alpha", "tgt"),
+      (2L, "alpha alpha beta", "tgt"),
+      (3L, "beta beta beta beta", "src"),
+      (4L, "beta beta", "src"),
+      (5L, "", "src"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirWeights(d, "doc_id", "text",
+        col("source") === "tgt", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    // empty doc 5 drops; counts: alpha c_src=5 c_tgt=5, beta c_src=7
+    // c_tgt=1, t_src=12 t_tgt=6 (alpha/beta buckets distinct mod 64)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), got.mkString(","))
+    val mean = got.map(t => t._1 -> t._3).toMap
+    val lrAlpha = math.log((6.0 / 70) / (6.0 / 76))
+    val lrBeta = math.log((2.0 / 70) / (8.0 / 76))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mean(1L) == r4(lrAlpha), s"${mean(1L)} vs $lrAlpha")
+    assert(mean(3L) == r4(lrBeta), s"${mean(3L)} vs $lrBeta")
+    assert(mean(1L) > mean(3L))
+    assert(got.find(_._1 == 1L).get._2 == 3L) // n_tokens exact
+  }
+
   test("lmScore: fluent in-corpus transitions outscore gibberish; counts exact") {
     import spark.implicits._
     val fluent = "the cat sat on the mat"

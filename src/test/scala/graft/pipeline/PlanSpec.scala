@@ -228,6 +228,27 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), "no global single-reducer anywhere")
   }
 
+  test("sessionStats: the one user-key exchange serves windows AND rollup") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i =>
+      (i, i % 7, new java.sql.Timestamp(i * 1000000L), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val df = graft.ops.Events.sessionStats(d, "user_id", "event_id", "ts",
+      "value", 3600L)
+    df.collect()
+    val plan = executedPlan(df)
+    // the rollup's grouping keys are a superset of the window
+    // partitioning — it must REUSE the session shuffle, never add an
+    // exchange keyed on (user, session_idx)
+    assert(!plan.contains("session_idx") ||
+      !"Exchange hashpartitioning\\([^)]*session_idx".r.findFirstIn(plan).isDefined,
+      "rollup must not reshuffle on (user, session_idx):\n" + plan.take(1200))
+    assert("Exchange".r.findAllIn(plan.replace("BroadcastExchange", "")
+      .replace("AQEShuffleRead", "")).length <= 2, // AQE may print initial+final
+      "sessionStats should shuffle once on the user key:\n" + plan.take(1200))
+    assert(!plan.contains("SinglePartition"), "no global single-reducer anywhere")
+  }
+
   test("packSequences: windows are span-partitioned, never a global single partition") {
     import spark.implicits._
     val d = (0L until 200L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
