@@ -660,6 +660,33 @@ object Oracles {
           round(sum(value), 2) AS sum_value
         FROM g GROUP BY user_id, session_idx"""
 
+  /** Funnel oracle: the identical greedy subsequence match — step
+    * numbers listed per user in (ts, event_id) order, folded with
+    * "advance iff the next needed step arrives" from a prepended 0
+    * seed (greedy earliest-match is optimal, so both engines compute
+    * THE max reachable stage, not an arbitrary matching). */
+  val qFunnel: String =
+    s"""WITH e AS (SELECT user_id, ts, event_id,
+          CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+            WHEN 'purchase' THEN 3 END AS step
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        a AS (SELECT user_id, list(step ORDER BY ts, event_id) AS seq
+              FROM e GROUP BY user_id)
+        SELECT user_id, CAST(list_reduce(list_prepend(0, seq),
+            (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END)
+          AS BIGINT) AS stage_reached
+        FROM a"""
+
+  /** Retention-cohort oracle: distinct active days per user, cohort =
+    * min day, (cohort, offset) user counts — exact integer day math. */
+  val qRetention: String =
+    s"""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        SELECT c.cohort_day,
+          CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM d JOIN c USING (user_id) GROUP BY 1, 2"""
+
   /** DSIR-weights oracle: same md5→60-bit bucket hashing (the verified
     * conv equivalence), same add-one-smoothed target/source bucket
     * distributions, same per-doc log-ratio rollup; ln vs log ulp
@@ -796,6 +823,40 @@ object Oracles {
             row_number() OVER (PARTITION BY qid
               ORDER BY score DESC, vec_id ASC) AS rank
           FROM f) WHERE rank <= 5"""
+
+  /** SemDeDup oracle: nearest-centroid assignment re-derived from the
+    * DUMPED codebook doubles (the qKnnIvfTrained cb shape — max score,
+    * ties to the smaller centroid id), within-cluster pairs cosine-
+    * thresholded with every float fold a left fold in index order
+    * seeded 0.0 (bit-identical to the Spark aggregate/zip_with chain),
+    * keep = no lower-id cluster-mate at or above threshold. */
+  val qSemDedup: String =
+    s"""WITH cents AS (SELECT centroid, cvec FROM ${inp("ivf_centroids")}),
+        sc AS (SELECT e.vec_id, e.embedding, c.centroid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cvec[i])),
+                   (a, b) -> a + b) AS score
+               FROM embeddings e CROSS JOIN cents c),
+        cb AS (SELECT vec_id, embedding, centroid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, centroid ASC) AS rn FROM sc) WHERE rn = 1),
+        pr AS (SELECT DISTINCT b.vec_id AS vid
+               FROM cb a JOIN cb b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+               WHERE list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, 65),
+                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+                       (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(range(1, 65),
+                           i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)),
+                         (x, y) -> x + y))
+                      * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(range(1, 65),
+                           i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+                         (x, y) -> x + y))) >= 0.2::DOUBLE)
+        SELECT cb.vec_id, cb.centroid,
+          cb.vec_id NOT IN (SELECT vid FROM pr) AS keep
+        FROM cb"""
 
   val qDedupEmbedding: String = {
     val bucket = lshBucketExpr("embedding", 64, 8)
@@ -1641,7 +1702,10 @@ object Oracles {
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_encode" -> qBpeEncode,
     "q_sessionize" -> qSessionize,
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
     "q_dsir_weights" -> qDsirWeights,
+    "q_semdedup" -> qSemDedup,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

@@ -566,6 +566,14 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       ops.Similarity.pqTopK(q, e, dim = 64, books = pqCodebooksFor(s, dir), k = 5)
     }),
+    // SemDeDup (k-means-partitioned semantic dedup): every vector
+    // assigned to its nearest TRAINED centroid (the shared per-JVM
+    // fit), within-cluster cosine >= threshold drops the higher id;
+    // oracle re-derives assignment + keep rule from the dumped doubles
+    "q_semdedup" -> ((s, dir) => {
+      ops.Similarity.semDedup(t(s, dir, "embeddings"),
+        centroids = ivfCentroidsFor(s, dir), threshold = 0.2)
+    }),
     // multiprobe LSH ANN: own bucket + every Hamming-1 neighbor probed
     "q_knn_lsh_multiprobe" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -796,6 +804,17 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => {
       ops.Events.sessionStats(t(s, dir, "events"), "user_id", "event_id",
         "ts", "value", gapSeconds = 21600L)
+    }),
+    // funnel analysis (view -> click -> purchase): greedy subsequence
+    // match per user in one key-keyed aggregation — no per-step joins
+    "q_funnel" -> ((s, dir) => {
+      ops.Events.funnel(t(s, dir, "events"), "user_id", "event_id",
+        "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+    // retention cohorts: first-active-day cohort x day-offset user
+    // counts from one user-keyed day-set aggregation
+    "q_retention" -> ((s, dir) => {
+      ops.Events.retentionCohorts(t(s, dir, "events"), "user_id", "ts")
     }),
     // J8: cross-document entity intersection (shared subjects between
     // two halves of the corpus) — self-join flavored set op

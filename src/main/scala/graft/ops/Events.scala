@@ -68,4 +68,56 @@ object Events {
         (max(us) - min(us)).as("duration_us"),
         round(sum(col(valueCol)), 2).as("sum_value"))
   }
+
+  /** Funnel analysis: per key, how far through the ordered `steps`
+    * sequence the event stream progresses — a greedy subsequence match
+    * over events in (ts, id) order (greedy earliest-match is optimal
+    * for subsequence containment, so this IS the max stage reachable).
+    * Emits (key, stage_reached) for every key with ≥ 1 funnel-step
+    * event; stage k means steps(0..k-1) were matched in order.
+    *
+    * Scale shape: events not in `steps` are dropped scan-side, then ONE
+    * hash aggregation on the key collects each key's step numbers in
+    * time order and a codegen'd array fold scores them — per-key state
+    * is bounded by that key's funnel-event count, there is no self-join
+    * per step (the naive k-way-join funnel shuffles k times and
+    * explodes on hot keys). Ties at one timestamp break by event id. */
+  def funnel(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    val us = epochUs(events, tsCol)
+    val stepNo = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
+    events.select(col(keyCol), us.as("us"), col(idCol).as("eid"),
+        stepNo.as("step"))
+      .filter(col("step").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("us"), col("eid"), col("step")))),
+        e => e.getField("step")).as("seq"))
+      .select(col(keyCol),
+        aggregate(col("seq"), lit(0L),
+          (acc, x) => when(x.cast("long") === acc + 1L, acc + 1L).otherwise(acc))
+          .as("stage_reached"))
+  }
+
+  /** Classic retention-cohort matrix: each key's cohort is its first
+    * active day; for every (cohort day, day offset) report how many
+    * keys were active. Emits (cohort_day DATE, day_offset, n_users).
+    *
+    * Scale shape: ONE key-keyed aggregation builds each key's distinct
+    * active-day set (bounded by the observation window's day count, not
+    * the key's event count — collect_set dedups map-side), the cohort
+    * is array_min of that set (no second pass, no join-back of a
+    * cohort table), and the final rollup is days²-sized — map-side
+    * partial aggregation makes the second exchange carry near-nothing. */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    events.select(col(keyCol), to_date(col(tsCol)).as("day"))
+      .groupBy(col(keyCol))
+      .agg(collect_set(col("day")).as("days"))
+      .select(col(keyCol), array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
 }

@@ -546,6 +546,75 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"), round(col("score"), 3).as("pq_score"))
   }
 
+  /** Kernel form of ivfAssignWith: the same ascending-d double fold per
+    * centroid, strict > so ties keep the SMALLER centroid id — bit-
+    * identical assignments (equivalence-tested in OpsSpec). Used where
+    * the assignment column feeds several plan branches (semDedup's
+    * self-join sides), which would re-evaluate the k×dim-term Catalyst
+    * expression once per branch — the giant-codegen shape. */
+  def ivfAssignKernel(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0; var d = 0
+      while (d < cents(c).length) { s += v(d).toDouble * cents(c)(d); d += 1 }
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** SemDeDup (Abbas et al. 2023, public paper): semantic dedup via
+    * k-means partitioning — cluster every embedding to its nearest
+    * codebook centroid, compare pairs only WITHIN a cluster, and drop
+    * any vector whose cosine to a lower-id cluster-mate reaches
+    * `threshold` (first-wins, the same keep rule as exact dedup).
+    * Emits every vector: (vec_id, centroid, keep BOOLEAN).
+    *
+    * Scale shape: the quadratic compare is confined to one cluster —
+    * the paper's recipe sizes k WITH the corpus (50k clusters for
+    * LAION) so cluster sizes stay bounded as N grows; the codebook is
+    * a broadcast-tiny trained table (fitCentroids), assignment is a
+    * kernel scan, and the drop set flows back as one aggregated
+    * left anti-ish join on vec_id. Clusters that still exceed
+    * `clusterCap` degrade to star comparison against the min-id member
+    * (each member judged against the representative only — O(m) not
+    * O(m²); lossy exactly like nearDupPairs' documented cap, and
+    * observable the same way via the returned cluster sizes of
+    * `counts`). */
+  def semDedup(corpus: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, clusterCap: Int = 2000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, emb) =>
+        (id, emb, ivfAssignKernel(emb, bc.value))
+      })
+      .toDF("vec_id", "embedding", "centroid")
+    val counts = assigned.groupBy(col("centroid"))
+      .agg(count(lit(1)).as("cl_n"), min(col("vec_id")).as("rep"))
+    // ≤ k rows — broadcast, the cap check never shuffles the corpus
+    val withC = assigned.join(broadcast(counts), Seq("centroid"))
+    val small = withC.filter(col("cl_n") <= clusterCap)
+    val a = small.select(col("centroid"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = small.select(col("centroid"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    val allPairs = a.join(b, Seq("centroid")).filter(col("id1") < col("id2"))
+    val reps = withC.filter(col("cl_n") > clusterCap && col("vec_id") === col("rep"))
+      .select(col("centroid"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val starPairs = withC.filter(col("cl_n") > clusterCap && col("vec_id") =!= col("rep"))
+      .select(col("centroid"), col("vec_id").as("id2"), col("embedding").as("e2"))
+      .join(reps, Seq("centroid"))
+    val dropped = allPairs.unionByName(starPairs.select(allPairs.columns.map(col): _*))
+      .filter(cosine(col("e1"), col("e2")) >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.select(col("vec_id"), col("centroid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid"), col("dup").isNull.as("keep"))
+  }
+
   /** The buckets nearDupPairs capped (bucket, bkt_n > cap) — count/log
     * this next to any capped run so the star-pairing lossiness (see
     * nearDupPairs caveat) is never silent. */

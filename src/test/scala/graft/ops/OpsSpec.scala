@@ -801,6 +801,96 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("ivfAssignKernel == columnar ivfAssign, id for id") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(53L)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(64)((rng.nextDouble() - 0.5).toFloat)))
+    val cents = Array.tabulate(8)(Similarity.ivfCentroid(_, 64))
+    val columnar = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.ivfAssign(col("embedding"), 64, 8).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.ivfAssignKernel(v, cents) == columnar(id), s"vec $id")
+    }
+  }
+
+  test("semDedup: planted semantic dup drops the higher id, singletons keep") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(47L)
+    def vec() = Array.fill(64)((rng.nextDouble() - 0.5).toFloat)
+    val v1 = vec()
+    val v1dup = v1.map(x => x * 1.01f) // same direction: cosine ~ 1
+    val corpus = Seq((1L, v1), (2L, v1dup), (3L, vec()), (4L, vec()))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.fitCentroids(corpus, 64, 2, iters = 2)
+    val got = Similarity.semDedup(corpus, cents, 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // first-wins: 1 keeps, its dup 2 drops; random 64-d vectors are
+    // near-orthogonal so 3 and 4 keep regardless of cluster
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true), got)
+  }
+
+  test("semDedup cluster cap: hot cluster judged against the representative only") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(59L)
+    val base = Array.fill(64)((rng.nextDouble() - 0.5).toFloat)
+    // 5 same-direction scalings -> one cluster, all mutual near-dups
+    val corpus = (1L to 5L).map(i => (i, base.map(x => x * (1f + 0.01f * i))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.fitCentroids(corpus, 64, 2, iters = 2)
+    val capped = Similarity.semDedup(corpus, cents, 0.95, clusterCap = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // star pairing: every member compared to min-id rep 1 only -> same
+    // keep set as uncapped here (all are dups of 1)
+    assert(capped == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false), capped)
+  }
+
+  test("funnel: greedy subsequence match over (ts, id) order") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 00:01:00"), "click"),
+      (3L, 1L, ts("2024-01-01 00:02:00"), "purchase"),
+      // user 2: click BEFORE view -> only stage 1 (view) reached
+      (4L, 2L, ts("2024-01-01 00:00:00"), "click"),
+      (5L, 2L, ts("2024-01-01 00:01:00"), "view"),
+      (6L, 2L, ts("2024-01-01 00:02:00"), "purchase"),
+      // user 3: repeats are harmless
+      (7L, 3L, ts("2024-01-01 00:00:00"), "view"),
+      (8L, 3L, ts("2024-01-01 00:01:00"), "view"),
+      (9L, 3L, ts("2024-01-01 00:02:00"), "click"),
+      // user 4: purchase only -> stage 0 (still emitted: has a step event)
+      (10L, 4L, ts("2024-01-01 00:00:00"), "purchase"),
+      // user 5: no funnel-step events at all -> no row
+      (11L, 5L, ts("2024-01-01 00:00:00"), "error"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.funnel(ev, "user_id", "event_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L), got)
+  }
+
+  test("retentionCohorts: cohort = first active day, per-offset distinct users") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 09:00:00")),
+      (2L, 10L, ts("2024-01-01 18:00:00")), // same day, dedups
+      (3L, 10L, ts("2024-01-03 09:00:00")),
+      (4L, 20L, ts("2024-01-01 23:59:59")),
+      (5L, 30L, ts("2024-01-02 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = Events.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),  // users 10 and 20 on their cohort day
+      ("2024-01-01", 2L, 1L),  // user 10 back on day 2
+      ("2024-01-02", 0L, 1L)), // user 30's own cohort
+      got)
+  }
+
   test("lshBucketKernel == columnar lshBucket, bit for bit") {
     import spark.implicits._
     val rng = new graft.pipeline.Rng(29L)

@@ -249,6 +249,36 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"), "no global single-reducer anywhere")
   }
 
+  test("funnel: one key exchange, no per-step joins, no single partition") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i =>
+      (i, i % 11, new java.sql.Timestamp(i * 1000000L),
+        Seq("view", "click", "purchase", "error")((i % 4).toInt)))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val df = graft.ops.Events.funnel(d, "user_id", "event_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("Join"), "funnel must not plan per-step joins:\n" + plan.take(1200))
+    assert("Exchange".r.findAllIn(plan.replace("AQEShuffleRead", "")).length <= 2,
+      "one key shuffle (AQE may print initial+final):\n" + plan.take(1200))
+    assert(!plan.contains("SinglePartition"), "no global single-reducer")
+  }
+
+  test("semDedup: cluster-keyed equi-joins only, never a cartesian") {
+    import spark.implicits._
+    val rng = new Rng(61L)
+    val d = (0L until 100L).map(i =>
+      (i, Array.fill(64)((rng.nextDouble() - 0.5).toFloat))).toDF("vec_id", "embedding")
+    val cents = Array.tabulate(4)(graft.ops.Similarity.ivfCentroid(_, 64))
+    val df = graft.ops.Similarity.semDedup(d, cents, 0.95)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere:\n" + plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"),
+      "cluster counts and the drop set should broadcast:\n" + plan.take(1200))
+  }
+
   test("packSequences: windows are span-partitioned, never a global single partition") {
     import spark.implicits._
     val d = (0L until 200L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
