@@ -687,6 +687,24 @@ object Oracles {
           CAST(count(*) AS BIGINT) AS n_users
         FROM d JOIN c USING (user_id) GROUP BY 1, 2"""
 
+  /** Bloom seen-set oracle: the filter re-derived exactly — position i
+    * of a key is the verified md5→60-bit toolbox hash of 'i:key' mod
+    * 1024, the build is the DISTINCT position set of the src0 texts,
+    * and maybe_seen = all 4 probe positions present (false positives
+    * and all — both engines compute the same deterministic filter). */
+  val qBloomSeen: String =
+    s"""WITH idx AS (SELECT unnest(range(4)) AS i),
+        bpos AS (SELECT DISTINCT
+            ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+              % 1024 AS p
+          FROM documents CROSS JOIN idx WHERE source = 'src0'),
+        pp AS (SELECT doc_id,
+            ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+              % 1024 AS p
+          FROM documents CROSS JOIN idx)
+        SELECT doc_id, bool_and(p IN (SELECT p FROM bpos)) AS maybe_seen
+        FROM pp GROUP BY doc_id"""
+
   /** DSIR-weights oracle: same md5→60-bit bucket hashing (the verified
     * conv equivalence), same add-one-smoothed target/source bucket
     * distributions, same per-doc log-ratio rollup; ln vs log ulp
@@ -1706,6 +1724,7 @@ object Oracles {
     "q_retention" -> qRetention,
     "q_dsir_weights" -> qDsirWeights,
     "q_semdedup" -> qSemDedup,
+    "q_bloom_seen" -> qBloomSeen,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

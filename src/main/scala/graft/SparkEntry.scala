@@ -94,6 +94,25 @@ object SparkEntry {
         ops.Similarity.fitPqCodebooks(t(s, dir, "embeddings"), dim = 64, m = 8, k = 8, iters = 3))
     }
 
+  /** Per-JVM memoized Bloom seen-set over the src0 document texts
+    * (same build-once/probe-many sharing as the codebook fits; the
+    * build is deterministic md5 math, so unlike the k-means fits it is
+    * bit-reproducible across runs too — memoization here just avoids
+    * re-running the build job per caller). Keyed injectively on the
+    * raw dir (the clustersFor md5-suffix scheme). */
+  private val bloomCache = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+  def bloomFor(s: SparkSession, dir: String): Array[Long] =
+    bloomCache.synchronized {
+      val raw = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      bloomCache.getOrElseUpdate(s"bloom_$raw", {
+        ops.Sketch.bloomBuild(
+          t(s, dir, "documents").filter(col("source") === "src0"),
+          "text", mBits = 1024, kHashes = 4)
+      })
+    }
+
   /** Driver-side KB row count (no Spark job — the label list is a local
     * Seq), passed as the kbCountHint so linking's size-tier decision
     * never pays a count() job per call (VERDICT r03 #1). */
@@ -203,6 +222,7 @@ object SparkEntry {
     ivfCentroidsFor(s, dir)
     pqCodebooksFor(s, dir)
     bpeFitFor(s, dir)
+    bloomFor(s, dir)
     ()
   }
 
@@ -513,6 +533,14 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, dir) => {
       ops.TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
         bpeFitFor(s, dir).map(m => (m._2, m._3)))
+    }),
+    // Bloom seen-set membership (the crawl/ingest dedup-gate): filter
+    // built once over the src0 texts (1024 bits, 4 md5-derived
+    // hashes — deterministic, so the oracle re-derives the identical
+    // bitset), every document probed by a narrow broadcast-bitset scan
+    "q_bloom_seen" -> ((s, dir) => {
+      ops.Sketch.bloomProbe(t(s, dir, "documents"), "doc_id", "text",
+        bloomFor(s, dir), mBits = 1024, kHashes = 4)
     }),
     // DSIR-shape importance weights: hashed-unigram log(p_tgt/p_src)
     // per doc, target slice = the src0 domain (the "Wikipedia" role);

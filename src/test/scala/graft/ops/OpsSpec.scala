@@ -801,6 +801,38 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("bloom: no false negatives; disjoint keys reject at large m; kernel == spec") {
+    import spark.implicits._
+    val seen = (1L to 40L).map(i => (i, s"seen document number $i")).toDF("doc_id", "text")
+    val fresh = (41L to 80L).map(i => (i, s"fresh document number $i")).toDF("doc_id", "text")
+    val all = seen.unionByName(fresh)
+    // large m: fill factor ~40*4/2^20 -> false positives effectively impossible
+    val m = 1 << 20
+    val bits = Sketch.bloomBuild(seen, "text", m, 4)
+    val got = Sketch.bloomProbe(all, "doc_id", "text", bits, m, 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    (1L to 40L).foreach(i => assert(got(i), s"false negative on $i"))
+    (41L to 80L).foreach(i => assert(!got(i), s"false positive on $i at m=$m"))
+    // kernel probe == the columnar join spec, at a SMALL m where false
+    // positives are live behavior (fill ~15%), so the equivalence
+    // covers the collision path too
+    val mSmall = 1024
+    val bitsSmall = Sketch.bloomBuild(seen, "text", mSmall, 4)
+    val kernel = Sketch.bloomProbe(all, "doc_id", "text", bitsSmall, mSmall, 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val spec = Sketch.bloomProbeSpec(all, "doc_id", "text", seen, "text", mSmall, 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(kernel == spec)
+    // and the kernel position math matches the columnar expression
+    val colPos = seen.select(col("doc_id"),
+        Sketch.bloomPositions(col("text"), mSmall, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    seen.collect().foreach { r =>
+      val (id, txt) = (r.getLong(0), r.getString(1))
+      assert(Sketch.bloomPositionsKernel(txt, mSmall, 4).sameElements(colPos(id)), s"doc $id")
+    }
+  }
+
   test("ivfAssignKernel == columnar ivfAssign, id for id") {
     import spark.implicits._
     val rng = new graft.pipeline.Rng(53L)
