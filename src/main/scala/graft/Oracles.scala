@@ -705,6 +705,53 @@ object Oracles {
         SELECT doc_id, bool_and(p IN (SELECT p FROM bpos)) AS maybe_seen
         FROM pp GROUP BY doc_id"""
 
+  /** Count-min oracle: the d×w counter table, per-token min-of-d
+    * estimate and exact count re-derived with the identical 'i#'-salted
+    * md5 hash family; the top-20 cut is a total order (est desc, token
+    * asc) so the selected SET is deterministic in both engines. */
+  val qCmsTopk: String =
+    s"""WITH toks AS (SELECT token FROM (SELECT unnest(string_split(text, ' '))
+            AS token FROM documents) WHERE token <> ''),
+        idx AS (SELECT unnest(range(4)) AS i),
+        e AS (SELECT token, i,
+                ('0x' || substr(md5(CAST(i AS VARCHAR) || '#' || token), 1, 15))::BIGINT
+                  % 512 AS pos
+              FROM toks CROSS JOIN idx),
+        c AS (SELECT i, pos, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY i, pos),
+        ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+               FROM toks GROUP BY token),
+        p AS (SELECT ex.token, ex.exact_cnt, idx.i,
+                ('0x' || substr(md5(CAST(idx.i AS VARCHAR) || '#' || ex.token), 1, 15))::BIGINT
+                  % 512 AS pos
+              FROM ex CROSS JOIN idx),
+        est AS (SELECT p.token, p.exact_cnt, min(c.cnt) AS cms_est
+                FROM p JOIN c USING (i, pos) GROUP BY 1, 2)
+        SELECT token, cms_est, exact_cnt FROM est
+        ORDER BY cms_est DESC, token ASC LIMIT 20"""
+
+  /** HyperLogLog oracle: registers (low 7 hash bits), ranks
+    * (54 − bitlength of the 53-bit suffix, the v2=0 case pinned
+    * identically in both engines) and the raw alpha·m²/Σ2^(−M) estimate
+    * re-derived; the register sum's addition order is engine-dependent
+    * (relative ~1e-13), absorbed by round(4). */
+  val qHllDistinct: String = {
+    val alpha = java.lang.Double.toString(0.7213 / (1 + 1.079 / 128))
+    s"""WITH t AS (SELECT token FROM (SELECT unnest(string_split(text, ' '))
+            AS token FROM documents) WHERE token <> ''),
+        h AS (SELECT token, ('0x' || substr(md5(token), 1, 15))::BIGINT AS v FROM t),
+        r AS (SELECT v % 128 AS reg,
+                CASE WHEN (v >> 7) = 0 THEN 54
+                     ELSE 54 - length(bin(v >> 7)) END AS rank
+              FROM h),
+        m AS (SELECT reg, max(rank) AS r FROM r GROUP BY reg),
+        s AS (SELECT sum(pow(2.0, -r)) AS s_ne, CAST(count(*) AS BIGINT) AS n_ne FROM m),
+        x AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM t)
+        SELECT CAST(128 AS BIGINT) AS m_registers, s.n_ne AS registers_used,
+          round($alpha::DOUBLE * 128 * 128 / (s.s_ne + (128 - s.n_ne)::DOUBLE), 4) AS hll_est,
+          x.exact_distinct
+        FROM s CROSS JOIN x"""
+  }
+
   /** DSIR-weights oracle: same md5→60-bit bucket hashing (the verified
     * conv equivalence), same add-one-smoothed target/source bucket
     * distributions, same per-doc log-ratio rollup; ln vs log ulp
@@ -1725,6 +1772,8 @@ object Oracles {
     "q_dsir_weights" -> qDsirWeights,
     "q_semdedup" -> qSemDedup,
     "q_bloom_seen" -> qBloomSeen,
+    "q_cms_topk" -> qCmsTopk,
+    "q_hll_distinct" -> qHllDistinct,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

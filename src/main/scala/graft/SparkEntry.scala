@@ -542,6 +542,22 @@ object SparkEntry {
       ops.Sketch.bloomProbe(t(s, dir, "documents"), "doc_id", "text",
         bloomFor(s, dir), mBits = 1024, kHashes = 4)
     }),
+    // count-min sketch heavy hitters: d*w-bounded counter table, min
+    // of d counters per token, exact count alongside the estimate;
+    // global top-20 via orderBy+limit (TakeOrdered, no global sort)
+    "q_cms_topk" -> ((s, dir) => {
+      ops.Sketch.cmsHeavyHitters(t(s, dir, "documents"), "text",
+        w = 512, d = 4, k = 20)
+    }),
+    // HyperLogLog distinct-token cardinality (raw estimator): m=128
+    // registers from one max-combine aggregation, exact distinct next
+    // to the estimate so the sketch error is visible data
+    "q_hll_distinct" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      ops.Sketch.hllDistinct(toks, "token", b = 7)
+    }),
     // DSIR-shape importance weights: hashed-unigram log(p_tgt/p_src)
     // per doc, target slice = the src0 domain (the "Wikipedia" role);
     // model is a 64-row conditional agg, scoring a broadcast join

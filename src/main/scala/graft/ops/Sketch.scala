@@ -81,6 +81,87 @@ object Sketch {
       .toDF(idCol, "maybe_seen")
   }
 
+  /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    * d×w counters — each token increments counter (i, hash_i(token)
+    * mod w) for i < d — and a token's frequency estimate is the MIN of
+    * its d counters (always ≥ the true count; collisions only inflate).
+    * Hashes ride the md5→60-bit toolbox with an 'i#' salt (a distinct
+    * family from the Bloom filter's 'i:'), so the sketch is
+    * deterministic and the oracle re-derives it exactly. Returns the
+    * top-k tokens by (estimate desc, token asc) with the exact count
+    * alongside — the overestimate is visible data, not hidden error.
+    *
+    * Scale shape: the counter table is ONE (i, pos)-keyed aggregation
+    * bounded by d·w rows (map-side partials absorb the token stream),
+    * estimates broadcast-join that tiny table back to the distinct-
+    * token table, and the global top-k is orderBy+limit — Spark's
+    * TakeOrdered, per-partition heaps merged on the driver, never a
+    * single-reducer sort. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, w: Int, d: Int,
+      k: Int): DataFrame = {
+    def pos(i: Int, token: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"$i#"), token)), 1, 15), 16, 10)
+        .cast("long"), lit(w.toLong))
+    val toks = df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val entries = toks.select(col("token"),
+        posexplode(array((0 until d).map(i => pos(i, col("token"))): _*))
+          .as(Seq("i", "pos")))
+    val counters = entries.groupBy(col("i"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.select(col("token"), col("exact_cnt"),
+      posexplode(array((0 until d).map(i => pos(i, col("token"))): _*))
+        .as(Seq("i", "pos")))
+    probes.join(broadcast(counters), Seq("i", "pos"))
+      .groupBy(col("token"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("token"), col("cms_est"), col("exact_cnt"))
+      .orderBy(col("cms_est").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** HyperLogLog cardinality (Flajolet et al. 2007, raw estimator):
+    * the 60-bit md5 hash splits into a register index (low b bits) and
+    * a (60-b)-bit suffix whose leading-zero rank each register maxes;
+    * estimate = alpha·m² / Σ 2^(-M_j) over all m registers (empty
+    * registers contribute 2^0). Raw estimator only — the small-range
+    * linear-counting and large-range corrections are documented out,
+    * since the point here is the mergeable fixed-size state, and the
+    * raw number is what both engines can re-derive exactly. Returns
+    * ONE row: (m_registers, registers_used, hll_est, exact_distinct) —
+    * the exact distinct count sits next to the estimate so the error
+    * is visible data.
+    *
+    * Scale shape: register state is ONE m-bounded aggregation (map-side
+    * max-combine absorbs the stream — the reason HLL exists), the
+    * estimate a 1-row scalar agg; exact_distinct is the expensive
+    * distinct shuffle the sketch replaces, kept here as the oracle's
+    * measuring stick. Register sums are rounded to 4dp: addition order
+    * across m doubles is engine-dependent, a relative-1e-13 effect. */
+  def hllDistinct(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+    val m = 1 << b
+    val bigW = 60 - b
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val v = conv(substring(md5(col(keyCol)), 1, 15), 16, 10).cast("long")
+    val v2 = shiftright(v, b)
+    val rank = when(v2 === 0, lit(bigW + 1))
+      .otherwise(lit(bigW + 1) - length(bin(v2)))
+    val regs = df.select(pmod(v, lit(m.toLong)).as("reg"), rank.as("rank"))
+      .groupBy(col("reg")).agg(max(col("rank")).as("r"))
+    val s = regs.agg(
+      sum(pow(lit(2.0), -col("r").cast("double"))).as("s_ne"),
+      count(lit(1)).as("n_ne"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    s.crossJoin(exact).select(
+      lit(m.toLong).as("m_registers"),
+      col("n_ne").as("registers_used"),
+      round(lit(alpha * m * m) /
+        (col("s_ne") + (lit(m.toLong) - col("n_ne")).cast("double")), 4)
+        .as("hll_est"),
+      col("exact_distinct"))
+  }
+
   /** Columnar executable spec of build∘probe (equivalence-tested in
     * OpsSpec, and the shape a no-driver-collect variant would use):
     * probe positions exploded, broadcast-joined to the build's distinct

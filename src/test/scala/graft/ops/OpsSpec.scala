@@ -833,6 +833,40 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cmsHeavyHitters: estimate >= exact always; == exact when w is collision-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana"),
+      (2L, "apple banana cherry"),
+      (3L, "apple date cherry cherry")).toDF("doc_id", "text")
+    // collision-free regime: w >> distinct tokens -> min-counter is exact
+    val wide = Sketch.cmsHeavyHitters(docs, "text", w = 1 << 16, d = 4, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.forall { case (_, est, exact) => est == exact }, wide.mkString(","))
+    assert(wide.take(2).map(t => (t._1, t._2)).toSeq ==
+      Seq(("apple", 5L), ("cherry", 3L)), wide.mkString(","))
+    // tiny w forces collisions: estimates may only OVERcount, never under
+    val tight = Sketch.cmsHeavyHitters(docs, "text", w = 4, d = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tight.forall { case (_, est, exact) => est >= exact }, tight.mkString(","))
+  }
+
+  test("hllDistinct: one row, raw estimate near exact, register invariants") {
+    import spark.implicits._
+    val keys = (1L to 500L).map(i => s"key-$i").toDF("token")
+    val r = Sketch.hllDistinct(keys, "token", b = 7).collect()
+    assert(r.length == 1)
+    val (m, used, est, exact) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2), r(0).getLong(3))
+    assert(m == 128 && exact == 500L && used <= m)
+    // raw HLL std error at m=128 is ~9.2%; 30% is a deterministic-safe band
+    assert(math.abs(est - exact) / exact < 0.30, s"est=$est exact=$exact")
+    // duplicates must not move the registers: same estimate, same exact
+    val dup = keys.unionByName(keys)
+    val r2 = Sketch.hllDistinct(dup, "token", b = 7).collect()(0)
+    assert(r2.getDouble(2) == est && r2.getLong(3) == exact)
+  }
+
   test("ivfAssignKernel == columnar ivfAssign, id for id") {
     import spark.implicits._
     val rng = new graft.pipeline.Rng(53L)
