@@ -705,6 +705,29 @@ object Oracles {
         SELECT doc_id, bool_and(p IN (SELECT p FROM bpos)) AS maybe_seen
         FROM pp GROUP BY doc_id"""
 
+  /** Phrase-mining oracle: the identical word2phrase score over the
+    * same empty-filtered token adjacency — every float factor cast
+    * ::DOUBLE with the same precedence chain, so scores are
+    * bit-identical; (score desc, w1, w2) is a total order so the
+    * top-50 SET is deterministic in both engines. */
+  val qPhraseMine: String =
+    s"""WITH d AS (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+            AS toks FROM documents),
+        ex AS (SELECT toks[u.i] AS w1, toks[u.i + 1] AS w2
+               FROM d, unnest(range(1, len(toks))) AS u(i)),
+        cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+                FROM ex GROUP BY 1, 2),
+        w AS (SELECT unnest(toks) AS w FROM d),
+        cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM w GROUP BY w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM w),
+        s AS (SELECT cab.w1, cab.w2, cab.c_ab,
+                round((cab.c_ab::DOUBLE - 1.0::DOUBLE) * n.n_tokens::DOUBLE
+                  / (a.c_w::DOUBLE * b.c_w::DOUBLE), 4) AS phrase_score
+              FROM cab JOIN cw a ON cab.w1 = a.w JOIN cw b ON cab.w2 = b.w
+              CROSS JOIN n WHERE cab.c_ab >= 5)
+        SELECT w1, w2, c_ab, phrase_score FROM s
+        ORDER BY phrase_score DESC, w1 ASC, w2 ASC LIMIT 50"""
+
   /** Count-min oracle: the d×w counter table, per-token min-of-d
     * estimate and exact count re-derived with the identical 'i#'-salted
     * md5 hash family; the top-20 cut is a total order (est desc, token
@@ -1774,6 +1797,7 @@ object Oracles {
     "q_bloom_seen" -> qBloomSeen,
     "q_cms_topk" -> qCmsTopk,
     "q_hll_distinct" -> qHllDistinct,
+    "q_phrase_mine" -> qPhraseMine,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

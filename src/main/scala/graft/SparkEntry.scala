@@ -542,6 +542,12 @@ object SparkEntry {
       ops.Sketch.bloomProbe(t(s, dir, "documents"), "doc_id", "text",
         bloomFor(s, dir), mBits = 1024, kHashes = 4)
     }),
+    // phrase mining (word2phrase): discounted adjacent-bigram ratio
+    // over vocabulary-bounded count tables, top-50 via TakeOrdered
+    "q_phrase_mine" -> ((s, dir) => {
+      ops.TextAnalysis.phraseMine(t(s, dir, "documents"), "text",
+        delta = 1.0, minCount = 5L, k = 50)
+    }),
     // count-min sketch heavy hitters: d*w-bounded counter table, min
     // of d counters per token, exact count alongside the estimate;
     // global top-20 via orderBy+limit (TakeOrdered, no global sort)

@@ -440,6 +440,47 @@ object TextAnalysis {
     * constructing the operator fires zero jobs, and the plan pays one
     * doc-count over the tf table (already doc×token-keyed) instead of
     * an extra full-corpus scan at action time (VERDICT r05 #2). */
+  /** Collocation / phrase mining (Mikolov et al. 2013 word2phrase):
+    * adjacent-bigram score = (c_ab − delta) · N / (c_a · c_b) — the
+    * discounted PMI-ish ratio the word2vec preprocessing joins "new
+    * york" on. Emits the top-k bigrams with c_ab ≥ minCount:
+    * (w1, w2, c_ab, phrase_score).
+    *
+    * Scale shape: bigrams explode from the SAME empty-filtered token
+    * array both engines derive (adjacency is judged after dropping
+    * empty tokens); all model tables are vocabulary-bounded token-keyed
+    * aggregations, N folds in lazily as a 1-row agg crossJoin (the
+    * lmScore V pattern), the word-count table is recomputed once per
+    * join side (cheap narrow agg — the documented bucket-cap pattern),
+    * and the global top-k is orderBy+limit = TakeOrdered, never a
+    * single-reducer sort. All double math is one shared-precedence
+    * expression, bit-identical across engines. */
+  def phraseMine(df: DataFrame, textCol: String, delta: Double,
+      minCount: Long, k: Int): DataFrame = {
+    val toksArr = filter(split(col(textCol), " "), x => length(x) > 0)
+    val withToks = df.select(toksArr.as("toks"))
+      .withColumn("n", size(col("toks")))
+    val ex = withToks.filter(col("n") >= 2)
+      .select(col("toks"), explode(sequence(lit(1), col("n") - 1)).as("i"))
+      .select(element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+    val cab = ex.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    def words = withToks.select(explode(col("toks")).as("w"))
+    val n = words.agg(count(lit(1)).as("n_tokens"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(words.groupBy(col("w")).agg(count(lit(1)).as("c_a"))
+        .withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(words.groupBy(col("w")).agg(count(lit(1)).as("c_b"))
+        .withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(n)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round((col("c_ab").cast("double") - lit(delta)) * col("n_tokens").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")), 4)
+          .as("phrase_score"))
+      .orderBy(col("phrase_score").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val docs = df.filter(length(col(textCol)) > 0)
     val toks = docs.select(col(idCol),

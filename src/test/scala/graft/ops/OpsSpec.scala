@@ -833,6 +833,24 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("phraseMine: word2phrase score exact; collocation outranks chance pairs") {
+    import spark.implicits._
+    // "new york" 6x as a unit; "the" everywhere so (the, new) is chance
+    val docs = Seq(
+      (1L, "the new york subway"),
+      (2L, "i love new york a lot"),
+      (3L, "new york  new york new york"), // double space: empty token filtered, adjacency preserved
+      (4L, "the city of new york"),
+      (5L, "the the the the")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseMine(docs, "text", delta = 1.0, minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // c(new,york)=6, c_new=6, c_york=6, N=25 tokens -> (6-1)*25/(6*6)
+    val expected = BigDecimal((6.0 - 1.0) * 25.0 / 36.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == 1, got.mkString(",")) // only (new, york) reaches minCount 5
+    assert(got(0) == ("new", "york", 6L, expected), s"${got(0)} vs $expected")
+  }
+
   test("cmsHeavyHitters: estimate >= exact always; == exact when w is collision-free") {
     import spark.implicits._
     val docs = Seq(
