@@ -849,6 +849,17 @@ object SparkEntry {
         .select(col("w.start").as("win_start"), col("event_type"),
           col("n_events"), col("sum_value"))
     }),
+    // SLIDING event-time windows (the Structured Streaming
+    // window(size, slide) idiom on batch data): each event expands to
+    // size/slide = 6 window rows scan-side — the generator shape a
+    // streaming job would maintain as state; one (window, type) shuffle
+    "q_window_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
     // gap-based sessionization (6h gap): one user-keyed shuffle, exact
     // integer-microsecond time math, per-session rollup
     "q_sessionize" -> ((s, dir) => {
@@ -1120,6 +1131,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // sliding windows re-derived: an event's 6 covering windows are the
+    // hour-aligned starts in (ts - 6h, ts] (Spark aligns slides to the
+    // epoch, and whole hours align to epoch hours)
+    "q_window_sliding" ->
+      """WITH x AS (SELECT date_trunc('hour', ts) - u.k * INTERVAL 1 HOUR
+             AS win_start, event_type, value
+           FROM events, unnest(range(6)) AS u(k))
+         SELECT win_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM x GROUP BY 1, 2""",
     "q_entity_intersect" ->
       """SELECT tok FROM (
            SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
