@@ -1652,6 +1652,21 @@ object Oracles {
           coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg
         FROM o FULL OUTER JOIN i ON o.iri = i.iri"""
 
+  /** Components oracle: transitive closure over the re-derived
+    * distinct entity edges via a recursive CTE DIRECTLY on the IRI
+    * strings (no fingerprint — the independent derivation of the
+    * engine's fp-keyed union-find + min(iri) relabel), component =
+    * lexicographic min reachable IRI. */
+  val kgComponents: String =
+    s"""WITH RECURSIVE $graphEdgeCtes,
+        ed AS (SELECT src_iri AS src, dst_iri AS dst FROM ge
+               UNION SELECT dst_iri, src_iri FROM ge),
+        reach(id, r) AS (
+          SELECT src, src FROM ed
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id)
+        SELECT id AS iri, min(r) AS component FROM reach GROUP BY id"""
+
   val kgTwoHop: String =
     s"""WITH $graphEdgeCtes,
         seeds AS (SELECT DISTINCT src_iri AS seed FROM ge ORDER BY seed LIMIT 3),
@@ -1847,6 +1862,7 @@ object Oracles {
     "kg_nodes_edges" -> kgNodesEdges,
     "kg_jsonld_docs" -> kgJsonldDocs,
     "kg_degrees" -> kgDegrees,
+    "kg_components" -> kgComponents,
     "kg_two_hop" -> kgTwoHop,
     "kg_pagerank" -> kgPagerank,
     "kg_triangles" -> kgTriangles,

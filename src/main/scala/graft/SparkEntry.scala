@@ -289,6 +289,12 @@ object SparkEntry {
     "kg_degrees" -> ((s, dir) => {
       Graph.degrees(edgesFor(s, dir))
     }),
+    // weakly-connected components of the entity graph, labeled by each
+    // component's lexicographic min IRI (size-tiered union-find under
+    // the hood — the same machinery as near-dup clustering)
+    "kg_components" -> ((s, dir) => {
+      Graph.components(distinctEdgesFor(s, dir), assumeDistinct = true)
+    }),
     // 2-hop directed neighborhoods of the 3 smallest source IRIs
     "kg_two_hop" -> ((s, dir) => {
       val ge = distinctEdgesFor(s, dir)

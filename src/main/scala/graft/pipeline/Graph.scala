@@ -40,6 +40,37 @@ object Graph {
     if (assumeDistinct) edges.select(col("src_iri"), col("dst_iri"))
     else entityEdges(edges)
 
+  /** Weakly-connected components of the DISTINCT entity graph:
+    * (iri, component) for every vertex, component = the lexicographic
+    * MIN IRI of its component — a meaning-carrying canonical label.
+    *
+    * IRIs ride the verified md5→60-bit fingerprint through
+    * Dedup.connectedComponents, inheriting its size tier: exact driver
+    * union-find under the pair limit (the iterative-small-data job-
+    * overhead lesson), convergence-checked min-label propagation above
+    * it. The fingerprint never reaches the result — labels are
+    * re-expressed as min(iri) per component, so the independent oracle
+    * re-derives the same partition directly on the strings. A 60-bit
+    * collision (P ≈ n²/2^61; production would mint dense ids by rank)
+    * would merge two vertices and surface as an oracle hash mismatch,
+    * never silently. Vertex- and edge-sized shuffles throughout; the
+    * labeled view is recomputed once per branch (cheap narrow join). */
+  def components(edges: DataFrame, assumeDistinct: Boolean = false): DataFrame = {
+    val e = distinctEdges(edges, assumeDistinct)
+    def fp(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val cc = graft.ops.Dedup.connectedComponents(
+      e.select(fp(col("src_iri")).as("id1"), fp(col("dst_iri")).as("id2")))
+    val nodes = e.select(col("src_iri").as("iri"))
+      .unionByName(e.select(col("dst_iri").as("iri"))).distinct()
+    val labeled = nodes.withColumn("id", fp(col("iri")))
+      .join(cc, Seq("id")).select(col("iri"), col("cluster"))
+    labeled.join(
+        labeled.groupBy(col("cluster")).agg(min(col("iri")).as("component")),
+        Seq("cluster"))
+      .select(col("iri"), col("component"))
+  }
+
   /** Two-hop directed neighborhoods of the seed IRIs over the DISTINCT
     * entity-edge graph: (seed, iri, hop) with hop = min(1, 2). Two
     * equi-joins — the standard k-hop expansion; seeds are few, so the

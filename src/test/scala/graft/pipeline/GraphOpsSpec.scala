@@ -18,6 +18,39 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == Map("a" -> ((3L, 0L)), "b" -> ((1L, 2L)), "c" -> ((0L, 2L))))
   }
 
+  test("components: min-IRI labels; direction ignored; singleton self-loop") {
+    // two components: {a,b,c,d} (mixed directions) and {x,y}; z self-loop
+    val e = edges(Seq(("b", "a"), ("b", "c"), ("d", "c"), ("x", "y"), ("z", "z")))
+    val got = Graph.components(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "z"), got)
+  }
+
+  test("components: driver tier == distributed tier (size-tier identity)") {
+    val e = edges(Seq(("b", "a"), ("b", "c"), ("d", "c"), ("x", "y")))
+    val driver = Graph.components(e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // force the distributed min-label tier through the same wrapper by
+    // dropping the pair limit to zero
+    def fp(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val ed = e.select(col("src_iri"), col("dst_iri"))
+    val cc = graft.ops.Dedup.connectedComponents(
+      ed.select(fp(col("src_iri")).as("id1"), fp(col("dst_iri")).as("id2")),
+      driverPairLimit = 0L)
+    val nodes = ed.select(col("src_iri").as("iri"))
+      .unionByName(ed.select(col("dst_iri").as("iri"))).distinct()
+    val labeled = nodes.withColumn("id", fp(col("iri")))
+      .join(cc, Seq("id")).select(col("iri"), col("cluster"))
+    val dist = labeled.join(
+        labeled.groupBy(col("cluster")).agg(min(col("iri")).as("component")),
+        Seq("cluster"))
+      .select(col("iri"), col("component")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(driver == dist)
+  }
+
   test("two-hop neighborhoods: min hop per (seed, node)") {
     import spark.implicits._
     val e = edges(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
