@@ -705,6 +705,32 @@ object Oracles {
         SELECT doc_id, bool_and(p IN (SELECT p FROM bpos)) AS maybe_seen
         FROM pp GROUP BY doc_id"""
 
+  /** Negative-sampling oracle: the identical unigram^0.75 distribution;
+    * the top-100 cut keys on exact counts so the set matches, and
+    * neg_prob's sum-order/pow-ulp noise (relative ~1e-15) vanishes
+    * under round(8). */
+  val qNegSampling: String =
+    s"""WITH t AS (SELECT token FROM (SELECT unnest(string_split(text, ' '))
+            AS token FROM documents) WHERE token <> ''),
+        c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+        w AS (SELECT token, cnt, pow(cnt::DOUBLE, 0.75::DOUBLE) AS w FROM c),
+        s AS (SELECT sum(w) AS w_total FROM w)
+        SELECT token, cnt, round(w / w_total, 8) AS neg_prob
+        FROM w CROSS JOIN s
+        ORDER BY cnt DESC, token ASC LIMIT 100"""
+
+  /** Percentile oracle: quantile_cont is the same type-7 estimator
+    * (index = p·(n−1), linear interpolation) as Spark's exact
+    * percentile aggregate; ulp-level interpolation-order differences
+    * are absorbed by round(4). */
+  val qPercentiles: String =
+    s"""SELECT event_type,
+          round(quantile_cont(value::DOUBLE, 0.25), 4) AS p25,
+          round(quantile_cont(value::DOUBLE, 0.5), 4) AS p50,
+          round(quantile_cont(value::DOUBLE, 0.75), 4) AS p75,
+          round(quantile_cont(value::DOUBLE, 0.95), 4) AS p95
+        FROM events GROUP BY event_type"""
+
   /** Phrase-mining oracle: the identical word2phrase score over the
     * same empty-filtered token adjacency — every float factor cast
     * ::DOUBLE with the same precedence chain, so scores are
@@ -1813,6 +1839,8 @@ object Oracles {
     "q_cms_topk" -> qCmsTopk,
     "q_hll_distinct" -> qHllDistinct,
     "q_phrase_mine" -> qPhraseMine,
+    "q_neg_sampling" -> qNegSampling,
+    "q_percentiles" -> qPercentiles,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

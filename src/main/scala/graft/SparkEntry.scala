@@ -548,6 +548,21 @@ object SparkEntry {
       ops.Sketch.bloomProbe(t(s, dir, "documents"), "doc_id", "text",
         bloomFor(s, dir), mBits = 1024, kHashes = 4)
     }),
+    // word2vec negative-sampling distribution: unigram^0.75 normalized
+    // over the full vocabulary, top-100 by exact count
+    "q_neg_sampling" -> ((s, dir) => {
+      ops.TextAnalysis.negativeSamplingTable(t(s, dir, "documents"), "text",
+        alpha = 0.75, k = 100)
+    }),
+    // exact per-group percentiles (type-7 linear interpolation — the
+    // one formula Spark's percentile and DuckDB's quantile_cont share)
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+    }),
     // phrase mining (word2phrase): discounted adjacent-bigram ratio
     // over vocabulary-bounded count tables, top-50 via TakeOrdered
     "q_phrase_mine" -> ((s, dir) => {

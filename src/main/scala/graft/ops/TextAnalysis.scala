@@ -440,6 +440,31 @@ object TextAnalysis {
     * constructing the operator fires zero jobs, and the plan pays one
     * doc-count over the tf table (already doc×token-keyed) instead of
     * an extra full-corpus scan at action time (VERDICT r05 #2). */
+  /** word2vec negative-sampling distribution (Mikolov et al. 2013):
+    * unigram counts raised to alpha (0.75 in the paper — flattens the
+    * Zipf head so rare words get sampled), normalized over the FULL
+    * vocabulary, top-k rows by exact count emitted. 0.75 is exactly
+    * representable in binary, and the normalizer folds in lazily as a
+    * 1-row agg crossJoin; the top-k cut keys on the exact BIGINT count
+    * (ties to token asc), so the selected set is engine-independent —
+    * only neg_prob is float, rounded to 8dp (sum-order and pow-ulp
+    * effects sit at relative 1e-15, far below the grid).
+    *
+    * Scale shape: one token-keyed aggregation (vocabulary-bounded),
+    * one 1-row scalar agg, TakeOrdered top-k. */
+  def negativeSamplingTable(df: DataFrame, textCol: String, alpha: Double,
+      k: Int): DataFrame = {
+    val counts = df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", pow(col("cnt").cast("double"), lit(alpha)))
+    counts.crossJoin(counts.agg(sum(col("w")).as("w_total")))
+      .select(col("token"), col("cnt"),
+        round(col("w") / col("w_total"), 8).as("neg_prob"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Collocation / phrase mining (Mikolov et al. 2013 word2phrase):
     * adjacent-bigram score = (c_ab − delta) · N / (c_a · c_b) — the
     * discounted PMI-ish ratio the word2vec preprocessing joins "new

@@ -833,6 +833,22 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("negativeSamplingTable: unigram^0.75 normalized, probs sum to ~1 over full vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.negativeSamplingTable(docs, "text", 0.75, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val tot = math.pow(4, 0.75) + math.pow(2, 0.75) + 1.0
+    def r8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      ("a", 4L, r8(math.pow(4, 0.75) / tot)),
+      ("b", 2L, r8(math.pow(2, 0.75) / tot)),
+      ("c", 1L, r8(1.0 / tot))), got.mkString(","))
+    // 0.75 flattens Zipf: 4x the count must get LESS than 4x the mass
+    assert(got(0)._3 < 4 * got(2)._3 && got(0)._3 > got(2)._3)
+  }
+
   test("phraseMine: word2phrase score exact; collocation outranks chance pairs") {
     import spark.implicits._
     // "new york" 6x as a unit; "the" everywhere so (the, new) is chance
