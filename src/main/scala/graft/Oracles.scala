@@ -705,6 +705,21 @@ object Oracles {
         SELECT doc_id, bool_and(p IN (SELECT p FROM bpos)) AS maybe_seen
         FROM pp GROUP BY doc_id"""
 
+  /** Snapshot-diff oracle: the same two derived corpus versions and the
+    * same fingerprint outer-join classification, re-derived in SQL. */
+  val qSnapshotDiff: String =
+    s"""WITH o AS (SELECT doc_id, md5(text) AS fp_old FROM documents
+                   WHERE doc_id % 10 <> 0),
+        n AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 2
+                THEN text || ' v2' ELSE text END) AS fp_new
+              FROM documents WHERE doc_id % 10 <> 1)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          CASE WHEN fp_old IS NULL THEN 'added'
+               WHEN fp_new IS NULL THEN 'removed'
+               WHEN fp_old = fp_new THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
   /** Negative-sampling oracle: the identical unigram^0.75 distribution;
     * the top-100 cut keys on exact counts so the set matches, and
     * neg_prob's sum-order/pow-ulp noise (relative ~1e-15) vanishes
@@ -1841,6 +1856,7 @@ object Oracles {
     "q_phrase_mine" -> qPhraseMine,
     "q_neg_sampling" -> qNegSampling,
     "q_percentiles" -> qPercentiles,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_quality_filter" -> qQualityFilter,
     "q_knn_lsh" -> qKnnLsh,
     "q_knn_lsh_multiprobe" -> qKnnLshMultiprobe,

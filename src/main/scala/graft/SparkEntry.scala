@@ -548,6 +548,17 @@ object SparkEntry {
       ops.Sketch.bloomProbe(t(s, dir, "documents"), "doc_id", "text",
         bloomFor(s, dir), mBits = 1024, kHashes = 4)
     }),
+    // crawl snapshot diff: two deterministic corpus versions (old drops
+    // the %10==0 slice; new drops %10==1 and rewrites %10==2) classified
+    // added/removed/changed/unchanged by one fingerprint outer join
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val newV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 2,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      ops.TextAnalysis.snapshotDiff(oldV, newV, "doc_id", "text")
+    }),
     // word2vec negative-sampling distribution: unigram^0.75 normalized
     // over the full vocabulary, top-100 by exact count
     "q_neg_sampling" -> ((s, dir) => {

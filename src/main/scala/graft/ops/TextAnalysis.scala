@@ -440,6 +440,24 @@ object TextAnalysis {
     * constructing the operator fires zero jobs, and the plan pays one
     * doc-count over the tf table (already doc×token-keyed) instead of
     * an extra full-corpus scan at action time (VERDICT r05 #2). */
+  /** Corpus snapshot diff — the crawl-over-crawl delta a dataset
+    * release pipeline reports (and the input to incremental
+    * re-processing: only `added`/`changed` rows re-enter the expensive
+    * stages). Each side reduces to (id, md5 fingerprint) scan-side;
+    * one id-keyed full outer join classifies every id as
+    * added / removed / changed / unchanged. Returns (idCol, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("fp_old"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** word2vec negative-sampling distribution (Mikolov et al. 2013):
     * unigram counts raised to alpha (0.75 in the paper — flattens the
     * Zipf head so rare words get sampled), normalized over the FULL

@@ -833,6 +833,18 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classified per id") {
+    import spark.implicits._
+    val oldV = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (2L, "did change"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.snapshotDiff(oldV, newV, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got)
+  }
+
   test("negativeSamplingTable: unigram^0.75 normalized, probs sum to ~1 over full vocab") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
