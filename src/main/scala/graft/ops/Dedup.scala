@@ -191,7 +191,10 @@ object Dedup {
       case Some(dir) =>
         b0.write.mode("overwrite").parquet(dir)
         df.sparkSession.read.parquet(dir)
-      case None => b0
+      // default: eager localCheckpoint — same lineage cut as the
+      // parquet boundary (the signature pass runs ONCE instead of once
+      // per branch), shuffle-table-sized, no directory to manage
+      case None => b0.localCheckpoint(true)
     }
     val counts = b.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bkt_n"), min(col(idCol)).as("rep"))
@@ -555,10 +558,32 @@ object Dedup {
     * Nothing is all-pairs; nothing is global. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
+    // One-pass KERNEL shingle+hash (the minhashSigKernel tokenization,
+    // equivalence-tested against the columnar shingles() form): the
+    // Catalyst posexplode(shingles)+md5 chain re-materializes the token
+    // array per shingle; the loop emits (id, pos, key) directly. The
+    // key is the RAW 16-byte md5 (not its 32-char hex string): the
+    // window only groups on it, and a bijective re-encoding halves the
+    // shuffle bytes of the widest column (guide §2.3 narrower types).
+    val spark = df.sparkSession
+    import spark.implicits._
     val ex = df.filter(length(col(textCol)) > 0)
-      .select(col(idCol), posexplode(shingles(col(textCol), n)).as(Seq("pos", "sh")))
-      .withColumn("key", md5(col("sh")))
-      .drop("sh")
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+          val last = math.max(toks.length - n, 0)
+          (0 to last).iterator.map { i =>
+            val sh = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+            md.reset()
+            (id, i,
+              md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
+      }
+      .toDF(idCol, "pos", "key")
     val wFirst = Window.partitionBy(col("key"))
       .orderBy(col(idCol).asc, col("pos").asc)
     val dup = ex.withColumn("rn", row_number().over(wFirst))

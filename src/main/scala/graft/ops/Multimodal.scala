@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches: every encode/decode
+  // via ImageIO.write/read(InputStream) creates and deletes a temp file
+  // on disk. At tens of thousands of tiny images per query that disk
+  // round-trip dominates the codec work (guide §1.2 "per-task work") —
+  // memory-backed streams produce byte-identical results. Runs once per
+  // JVM when the object loads (executors included: the mapPartitions
+  // closures reference this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---- REAL decode path: uncompressed 24-bit BMP (pure JVM) ----
   // The BMP container needs no codec library, so this path decodes REAL
   // pixel data end to end — the declared stub seam now carries one fully
@@ -194,16 +203,20 @@ object Multimodal {
       rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: one array store per pixel instead of a per-pixel
+    // ColorModel call — identical TYPE_INT_RGB values
+    val buf = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val (r, g, b) = rgb(x, y)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        buf(y * width + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, buf, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
     bos.toByteArray
@@ -215,13 +228,10 @@ object Multimodal {
     require(img != null, "no JDK reader recognized the image bytes")
     val w = img.getWidth
     val h = img.getHeight
-    val px = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
-      y += 1
-    }
+    // bulk getRGB (identical per-pixel values, one ColorModel pass)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
     BmpPixels(w, h, px)
   }
 
@@ -394,16 +404,18 @@ object Multimodal {
     frames.foreach { rgb =>
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val buf = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
           val (r, g, b) = rgb(x, y)
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          buf(y * width + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, width, height, buf, 0, width)
       val md = wr.getDefaultImageMetadata(
         new javax.imageio.ImageTypeSpecifier(img), p)
       val fmt = "javax_imageio_gif_image_1.0"
@@ -440,13 +452,9 @@ object Multimodal {
       val img = rd.read(f)
       val w = img.getWidth
       val h = img.getHeight
-      val px = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
-        y += 1
-      }
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
       BmpPixels(w, h, px)
     }
     val md = rd.getImageMetadata(0)

@@ -76,12 +76,27 @@ object Similarity {
     bucket
   }
 
+  /** Corpus side bucketed by the KERNEL (bit-identical to the columnar
+    * lshBucket, equivalence-tested): the nBits×dim-term Catalyst
+    * expression costs more to CODEGEN-compile per query than the whole
+    * 2k-row scan costs to run — the giant-expression shape CLAUDE.md
+    * flags; the loop needs no codegen at all. */
+  private def bucketedKernel(df: DataFrame, idName: String, vecName: String,
+      dim: Int, nBits: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idName).cast("long"), col(vecName))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, lshBucketKernel(v, dim, nBits)) })
+      .toDF(idName, vecName, "bucket")
+  }
+
   /** Bucketed ANN: each query scans only its LSH bucket (plus no
     * multiprobe in this baseline — recall traded for a bucket-local
     * scan; raise nBits for smaller buckets at lower recall). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, nBits: Int, k: Int): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
-    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), dim, nBits))
+    val cb = bucketedKernel(corpus, "vec_id", "embedding", dim, nBits)
+    val qb = bucketedKernel(queries, "qid", "qvec", dim, nBits)
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("cos", cosine(col("embedding"), col("qvec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -98,11 +113,20 @@ object Similarity {
     * list is distinct, so no post-join dedup is needed. */
   def lshTopKMultiprobe(queries: DataFrame, corpus: DataFrame,
       dim: Int, nBits: Int, k: Int): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
-    val probes = (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))
-    val qb = queries.withColumn("bucket0", lshBucket(col("qvec"), dim, nBits))
-      .withColumn("bucket", explode(array(col("bucket0") +: probes: _*)))
-      .drop("bucket0")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = bucketedKernel(corpus, "vec_id", "embedding", dim, nBits)
+    // kernel probe fan-out: own bucket + every Hamming-1 flip — the
+    // same probe list as the columnar explode(array(bucket0 xor 2^b))
+    val qb = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        val b0 = lshBucketKernel(v, dim, nBits)
+        (-1 until nBits).iterator.map { b =>
+          (id, v, if (b < 0) b0 else b0 ^ (1L << b))
+        }
+      })
+      .toDF("qid", "qvec", "bucket")
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("cos", cosine(col("embedding"), col("qvec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -200,13 +224,44 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
 
-  /** IVF over an explicit codebook (e.g. a fitCentroids result). */
+  /** Kernel form of ivfProbesWith: scores every centroid with the same
+    * ascending-d left-assoc double fold, then takes the top nProbe by
+    * (score desc, id desc) — the exact order the columnar
+    * reverse(array_sort(struct(score, id))) slice produces (probe SETS
+    * therefore identical; equivalence-tested in OpsSpec). */
+  def ivfProbesKernel(v: Array[Float], cents: Array[Array[Double]],
+      nProbe: Int): Array[Int] = {
+    val scores = Array.tabulate(cents.length) { c =>
+      var s = 0.0
+      var d = 0
+      while (d < cents(c).length) { s += v(d).toDouble * cents(c)(d); d += 1 }
+      s
+    }
+    cents.indices.toArray
+      .sortBy(c => (-scores(c), -c))
+      .take(math.min(nProbe, cents.length))
+  }
+
+  /** IVF over an explicit codebook (e.g. a fitCentroids result).
+    * Corpus assignment and query probes run through the KERNELS
+    * (bit-identical to the columnar forms, both equivalence-tested) —
+    * the k×dim-term assignment expression is pure codegen overhead at
+    * query time (the giant-expression shape CLAUDE.md flags). */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, dim: Int,
       centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
-    val assign = ivfAssignWith(col("embedding"), centroids)
-    val cb = corpus.withColumn("centroid", assign)
-    val qb = queries
-      .withColumn("centroid", explode(ivfProbesWith(col("qvec"), centroids, nProbe)))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cb = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, ivfAssignKernel(v, bc.value)) })
+      .toDF("vec_id", "embedding", "centroid")
+    val qb = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        ivfProbesKernel(v, bc.value, nProbe).iterator.map(c => (id, v, c))
+      })
+      .toDF("qid", "qvec", "centroid")
     val scored = cb.join(broadcast(qb), Seq("centroid"))
       .withColumn("cos", cosine(col("embedding"), col("qvec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
@@ -215,14 +270,14 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
   }
 
-  private def ivfAssignWith(vec: Column, cents: Array[Array[Double]]): Column = {
+  private[ops] def ivfAssignWith(vec: Column, cents: Array[Array[Double]]): Column = {
     val scored = cents.indices.map { c =>
       struct(centroidScore(vec, cents(c)).as("score"), lit(-c).as("negid"))
     }
     -greatest(scored: _*).getField("negid")
   }
 
-  private def ivfProbesWith(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
+  private[ops] def ivfProbesWith(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column = {
     val scored = cents.indices.map { c =>
       struct(centroidScore(vec, cents(c)).as("score"), lit(c).as("id"))
     }
@@ -240,26 +295,22 @@ object Similarity {
   def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column =
     ivfAssignWith(vec, Array.tabulate(nCentroids)(ivfCentroid(_, dim)))
 
-  /** Top-nprobe centroid list for a query vector. */
-  private def ivfProbes(vec: Column, dim: Int, nCentroids: Int, nProbe: Int): Column =
+  /** Top-nprobe centroid list for a query vector (columnar SPEC of
+    * ivfProbesKernel over the seeded codebook — equivalence-tested). */
+  private[ops] def ivfProbes(vec: Column, dim: Int, nCentroids: Int, nProbe: Int): Column =
     ivfProbesWith(vec, Array.tabulate(nCentroids)(ivfCentroid(_, dim)), nProbe)
 
   /** IVF ANN: corpus partitioned into nCentroids inverted lists; each
     * query scans only its nProbe closest lists. The shuffle is keyed by
     * centroid id — at 10^9 vectors each list is a parquet partition and
-    * a query touches nProbe/nCentroids of the data. */
+    * a query touches nProbe/nCentroids of the data. Delegates to
+    * ivfTopKWith over the seeded codebook (identical by construction —
+    * ivfAssign/ivfProbes are the same builders over the same
+    * Array.tabulate(nCentroids)(ivfCentroid) table). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    val cb = corpus.withColumn("centroid", ivfAssign(col("embedding"), dim, nCentroids))
-    val qb = queries
-      .withColumn("centroid", explode(ivfProbes(col("qvec"), dim, nCentroids, nProbe)))
-    val scored = cb.join(broadcast(qb), Seq("centroid"))
-      .withColumn("cos", cosine(col("embedding"), col("qvec")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 3).as("cos_sim"))
-  }
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(queries, corpus, dim,
+      Array.tabulate(nCentroids)(ivfCentroid(_, dim)), nProbe, k)
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets:
     * pairs in the same bucket with cosine ≥ threshold (id1 < id2).
@@ -491,6 +542,44 @@ object Similarity {
       yield (sub, j, books(sub)(j).toSeq)).toDF("sub", "code", "cvec")
   }
 
+  /** Kernel ADC table: entry (sub·k + j) = dot of the query's sub-vector
+    * with centroid j of subspace sub — ascending-d left-assoc fold,
+    * bit-identical to the columnar pqAdcColumn spec (equivalence test
+    * in OpsSpec). */
+  def pqAdcKernel(v: Array[Float], books: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = books.length
+    val nCodes = books(0).length
+    val subDim = v.length / m
+    val out = new Array[Double](m * nCodes)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * subDim
+      var j = 0
+      while (j < nCodes) {
+        var s = 0.0
+        var d = 0
+        while (d < subDim) { s += v(off + d).toDouble * books(sub)(j)(d); d += 1 }
+        out(sub * nCodes + j) = s
+        j += 1
+      }
+      sub += 1
+    }
+    out
+  }
+
+  /** Columnar executable SPEC of pqAdcKernel (kept for the equivalence
+    * test — an m·k·subDim-term expression, never the hot path). */
+  private[ops] def pqAdcColumn(qvec: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val nCodes = books(0).length
+    val subDim = books(0)(0).length
+    array((for (sub <- 0 until m; j <- 0 until nCodes) yield
+      (0 until subDim).map(d =>
+        element_at(qvec, sub * subDim + d + 1).cast("double") * lit(books(sub)(j)(d))
+      ).reduce(_ + _)): _*)
+  }
+
   /** PQ-ADC approximate top-k cosine: corpus compressed to m codes per
     * vector (kernel encode scan), each query carries a broadcast m*k
     * ADC lookup table (dot of its sub-vector with every centroid) plus
@@ -521,14 +610,21 @@ object Similarity {
       s
     }
     val normArr = array(norm2.map(lit): _*)
-    // query-side ADC table: m*k sub-dots as left-assoc column chains
-    // (query side is broadcast-tiny, so the wide expression runs over a
-    // handful of rows, never the corpus)
-    val adcArr = array((for (sub <- 0 until m; j <- 0 until nCodes) yield
-      (0 until subDim).map(d =>
-        element_at(col("qvec"), sub * subDim + d + 1).cast("double") * lit(books(sub)(j)(d))
-      ).reduce(_ + _)): _*)
-    val qb = queries.withColumn("adc", adcArr).withColumn("qnorm", norm(col("qvec")))
+    // query-side ADC table via the KERNEL: the columnar form is an
+    // m·k·subDim-term array expression whose codegen compile costs more
+    // than the whole query — the kernel reproduces the identical
+    // ascending-d left-assoc double folds (sub-dots and the qvec norm),
+    // so the table is bit-identical (pqAdcKernel equivalence test)
+    val qb = queries.select(col("qid").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, pqAdcKernel(v, bc.value), {
+          var s = 0.0; var d = 0
+          while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+          math.sqrt(s)
+        })
+      })
+      .toDF("qid", "qvec", "adc", "qnorm")
     val scored = codes.crossJoin(broadcast(qb))
       .withColumn("dotq", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),

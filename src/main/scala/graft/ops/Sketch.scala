@@ -104,15 +104,21 @@ object Sketch {
         .cast("long"), lit(w.toLong))
     val toks = df.select(explode(split(col(textCol), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val entries = toks.select(col("token"),
-        posexplode(array((0 until d).map(i => pos(i, col("token"))): _*))
-          .as(Seq("i", "pos")))
-    val counters = entries.groupBy(col("i"), col("pos"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE corpus-token aggregation: the counter cell (i, pos) holds the
+    // number of stream occurrences hashing there, which equals the SUM
+    // of exact counts over the tokens hashing there — so the counters
+    // fold from the (already-needed) vocab-sized exact table instead of
+    // a second corpus explode shuffling d rows per occurrence (guide
+    // §2.3 aggregate before you shuffle). probes is materialized once:
+    // counters and the probe join both read it (branch-recompute rule),
+    // and the d md5s per distinct token are computed exactly once.
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
     val probes = exact.select(col("token"), col("exact_cnt"),
       posexplode(array((0 until d).map(i => pos(i, col("token"))): _*))
         .as(Seq("i", "pos")))
+      .localCheckpoint(true)
+    val counters = probes.groupBy(col("i"), col("pos"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
     probes.join(broadcast(counters), Seq("i", "pos"))
       .groupBy(col("token"), col("exact_cnt"))
       .agg(min(col("cnt")).as("cms_est"))

@@ -415,9 +415,16 @@ object TextAnalysis {
       .select(col(idCol), col("is_target"),
         pmod(conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bucket"))
+      // materialized once: the model lineage (counts → totals → model)
+      // and the scoring join would otherwise each re-run the corpus
+      // explode + per-token md5 (branch-recompute rule); the checkpoint
+      // is the same size as the scoring join's probe side
+      .localCheckpoint(true)
     val counts = toks.groupBy(col("bucket")).agg(
       count(lit(1)).as("c_src"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+      // bucket-bounded rows; totals and model both read it
+      .localCheckpoint(true)
     val totals = counts.agg(sum(col("c_src")).as("t_src"),
       sum(col("c_tgt")).as("t_tgt"))
     val model = counts.crossJoin(totals).select(col("bucket"),
@@ -508,13 +515,20 @@ object TextAnalysis {
       .select(element_at(col("toks"), col("i")).as("w1"),
         element_at(col("toks"), col("i") + 1).as("w2"))
     val cab = ex.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    def words = withToks.select(explode(col("toks")).as("w"))
-    val n = words.agg(count(lit(1)).as("n_tokens"))
+    // unigram counts computed ONCE and materialized (vocab-sized):
+    // referencing the un-materialized count table from three plan
+    // branches (c_a, c_b, n_tokens) re-runs the corpus tokenize per
+    // branch (CLAUDE.md branch-recompute rule); localCheckpoint cuts
+    // the lineage so the scan+shuffle happens exactly once, and the
+    // total token count folds from the materialized table instead of a
+    // fourth corpus pass (guide §2.4 remove shuffles outright).
+    val wc = withToks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = wc.agg(sum(col("c")).as("n_tokens"))
     cab.filter(col("c_ab") >= minCount)
-      .join(words.groupBy(col("w")).agg(count(lit(1)).as("c_a"))
-        .withColumnRenamed("w", "w1"), Seq("w1"))
-      .join(words.groupBy(col("w")).agg(count(lit(1)).as("c_b"))
-        .withColumnRenamed("w", "w2"), Seq("w2"))
+      .join(wc.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(wc.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
       .crossJoin(n)
       .select(col("w1"), col("w2"), col("c_ab"),
         round((col("c_ab").cast("double") - lit(delta)) * col("n_tokens").cast("double")
@@ -529,7 +543,12 @@ object TextAnalysis {
     val toks = docs.select(col(idCol),
         explode(split(col(textCol), " ")).as("token"))
       .filter(length(col("token")) > 0)
+    // materialize tf once: both the join's left side and dfreq derive
+    // from it, and an unmaterialized tf re-runs the corpus explode +
+    // (id, token) shuffle per branch (CLAUDE.md branch-recompute rule).
+    // The checkpoint is the same size as the shuffle it replaces.
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // N = docs with non-empty text; derived from `docs` directly (a doc
     // whose tokens are all empty strings still counts, matching the old

@@ -92,9 +92,9 @@ object EvalAgg {
     * row (avg P/R/F1, totals). Returns (perCase, aggregate). */
   def perCaseAndAggregate(predicted: DataFrame, gold: DataFrame): (DataFrame, DataFrame) = {
     val keys = Seq("url", "subj", "pred", "obj")
-    val p = predicted.select(keys.map(col): _*).distinct().withColumn("in_pred", lit(1))
-    val g = gold.select(keys.map(col): _*).distinct().withColumn("in_gold", lit(1))
-    val j = p.join(g, keys, "full_outer")
+    // one-exchange membership flags (see Eval.membershipFlags) — row-
+    // identical to distinct-each-side + full-outer join
+    val j = Eval.membershipFlags(predicted, gold, keys)
     val perCase = j.groupBy(col("url")).agg(
         sum(when(col("in_pred").isNotNull && col("in_gold").isNotNull, 1).otherwise(0)).as("tp"),
         sum(when(col("in_pred").isNotNull && col("in_gold").isNull, 1).otherwise(0)).as("fp"),

@@ -32,13 +32,24 @@ object Eval {
     Prf(tp, fp, fn, precision, recall, f1)
   }
 
+  /** Tag each distinct key with side-membership flags in ONE shuffle:
+    * union the two sides with flag columns and groupBy the key —
+    * row-identical to distinct-each-side + full-outer join (a key in
+    * pred gets max(in_pred)=1 else null, same for gold) but one
+    * exchange instead of three (two distincts + the join; guide §2.4). */
+  private[pipeline] def membershipFlags(predicted: DataFrame, gold: DataFrame,
+      keys: Seq[String]): DataFrame =
+    predicted.select(keys.map(col) :+ lit(1).as("in_pred") :+
+        lit(null).cast("int").as("in_gold"): _*)
+      .unionByName(gold.select(keys.map(col) :+ lit(null).cast("int").as("in_pred") :+
+        lit(1).as("in_gold"): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("in_pred")).as("in_pred"), max(col("in_gold")).as("in_gold"))
+
   /** The same computation as one Dataset job (for queries()/bench). */
   def prfDf(predicted: DataFrame, gold: DataFrame): DataFrame = {
     val keys = Seq("url", "subj", "pred", "obj")
-    val p = predicted.select(keys.map(col): _*).distinct()
-    val g = gold.select(keys.map(col): _*).distinct()
-    val joined = p.withColumn("in_pred", lit(1))
-      .join(g.withColumn("in_gold", lit(1)), keys, "full_outer")
+    val joined = membershipFlags(predicted, gold, keys)
     joined.agg(
       sum(when(col("in_pred").isNotNull && col("in_gold").isNotNull, 1).otherwise(0)).as("tp"),
       sum(when(col("in_pred").isNotNull && col("in_gold").isNull, 1).otherwise(0)).as("fp"),

@@ -301,8 +301,13 @@ object Graph {
     * handles skewed join vars. */
   def bgp(edges: DataFrame, patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
+    // eager materialization: every pattern branch references the
+    // distinct (s,p,o) view, and an unmaterialized view re-runs its
+    // scan+distinct once per pattern (the multi-branch recompute trap,
+    // CLAUDE.md) — one localCheckpoint pays it exactly once
     val spo = edges.select(col("src_iri").as("s"), col("pred").as("p"),
       coalesce(col("dst_iri"), col("obj_literal")).as("o")).distinct()
+      .localCheckpoint(true)
     def isVar(t: String) = t.startsWith("?")
     val frames = patterns.map { case (s, p, o) =>
       val terms = Seq(s -> "s", p -> "p", o -> "o")

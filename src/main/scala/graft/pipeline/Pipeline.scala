@@ -175,9 +175,33 @@ object Pipeline {
       includeProps: Boolean = false,
       broadcastKbLimit: Long = defaultBroadcastKbLimit,
       kbCountHint: Option[Long] = None): (DataFrame, DataFrame, () => Unit) = {
-    // ONE big-table rollup: every distinct entity surface with its
-    // deterministic representative (type, slug). classify() is a pure
-    // function of the surface, so min_by just pins tie order.
+    val (surfaceIri, vocabN, release) = surfaceIriReleasable(trip, kb,
+      broadcastVocabLimit, broadcastKbLimit, kbCountHint)
+    val useBroadcast = vocabN <= broadcastVocabLimit
+    val nodes0 = reduceNodes(surfaceIri.select(col("iri"), col("entity_type"),
+      col("surface").as("name"), col("slug")))
+    // A3 on the node table (opt-in: one extra big-table aggregation)
+    val nodes = if (!includeProps) nodes0
+      else nodes0.join(nodePropsFromVocab(trip.toDF, surfaceIri), Seq("iri"), "left")
+    val edges = edgesFromVocab(trip.toDF, surfaceIri, useBroadcast)
+    (nodes, edges, release)
+  }
+
+  /** The vocabulary → IRI stage of the graph build on its own: ONE
+    * big-table rollup (every distinct entity surface with its
+    * deterministic (type, slug) representative — classify() is a pure
+    * function of the surface, min_by just pins tie order), then
+    * linking + IRI minting, all vocabulary-sized. Exposed so a caller
+    * that builds nodes, edges AND node-props over the same corpus can
+    * CHECKPOINT this table once instead of re-running the rollup and
+    * the link joins per consumer (guide §2.4 — two operations keyed
+    * the same way share one build). Returns (surfaceIri, vocabN,
+    * release); callers must invoke release after their terminal
+    * action. */
+  def surfaceIriReleasable(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
+      broadcastVocabLimit: Long = defaultBroadcastVocabLimit,
+      broadcastKbLimit: Long = defaultBroadcastKbLimit,
+      kbCountHint: Option[Long] = None): (DataFrame, Long, () => Unit) = {
     val surfaceInfo = trip.toDF
       .select(col("subj_surface").as("surface"), col("subj_type").as("entity_type"),
         col("subj").as("slug"))
@@ -207,32 +231,29 @@ object Pipeline {
       .select(col("surface"), col("entity_type"), col("slug"), col("iri"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     surfaceIri.count() // force once; both join-back tiers reuse the cache
+    (surfaceIri, vocabN,
+      () => { surfaceIri.unpersist(); surfaceInfo.unpersist(); () })
+  }
 
-    val nodes0 = reduceNodes(surfaceIri.select(col("iri"), col("entity_type"),
-      col("surface").as("name"), col("slug")))
-    // A3 on the node table (opt-in: one extra big-table aggregation):
-    // props MAP<STRING,STRING> per IRI, last-write-wins per property.
-    // The reference buffer is per-document; across documents the write
-    // order is pinned by (url, chunk_id, sent_idx) — url ascending as
-    // the deterministic crawl-order stand-in (SURVEY.md §1 data model).
-    val nodes = if (!includeProps) nodes0 else {
-      val lastWrite = trip.toDF
-        .groupBy(col("subj_surface").as("surface"), col("pred"))
-        .agg(max_by(struct(col("obj"), col("url"), col("chunk_id"), col("sent_idx")),
-          struct(col("url"), col("chunk_id"), col("sent_idx"), col("obj"))).as("w"))
-      val byIri = lastWrite
-        .join(surfaceIri.select(col("surface"), col("iri")), Seq("surface"))
-        .groupBy(col("iri"), col("pred"))
-        .agg(max_by(col("w.obj"),
-          struct(col("w.url"), col("w.chunk_id"), col("w.sent_idx"), col("w.obj"))).as("last_obj"))
-        .groupBy(col("iri"))
-        .agg(map_from_entries(
-          array_sort(collect_list(struct(col("pred"), col("last_obj"))))).as("props"))
-      nodes0.join(byIri, Seq("iri"), "left")
-    }
-
-    val edges = joinBackEdges(trip.toDF, surfaceIri, useBroadcast)
-    (nodes, edges, () => { surfaceIri.unpersist(); surfaceInfo.unpersist(); () })
+  /** Per-IRI property map, last-write-wins per property key: the props
+    * MAP<STRING,STRING> of the includeProps node tier, factored out so
+    * it can run against a CHECKPOINTED surfaceIri table. The reference
+    * buffer is per-document; across documents the write order is
+    * pinned by (url, chunk_id, sent_idx) — url ascending as the
+    * deterministic crawl-order stand-in (SURVEY.md §1 data model). */
+  def nodePropsFromVocab(trip: DataFrame, surfaceIri: DataFrame): DataFrame = {
+    val lastWrite = trip
+      .groupBy(col("subj_surface").as("surface"), col("pred"))
+      .agg(max_by(struct(col("obj"), col("url"), col("chunk_id"), col("sent_idx")),
+        struct(col("url"), col("chunk_id"), col("sent_idx"), col("obj"))).as("w"))
+    lastWrite
+      .join(surfaceIri.select(col("surface"), col("iri")), Seq("surface"))
+      .groupBy(col("iri"), col("pred"))
+      .agg(max_by(col("w.obj"),
+        struct(col("w.url"), col("w.chunk_id"), col("w.sent_idx"), col("w.obj"))).as("last_obj"))
+      .groupBy(col("iri"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("pred"), col("last_obj"))))).as("props"))
   }
 
   /** Associative node-table reduce: one row per IRI, the minimum
@@ -262,12 +283,25 @@ object Pipeline {
     * Shape: one groupByKey shuffle on url (the document key), then pure
     * per-group string assembly — O(doc) memory per group, no driver
     * collection. */
+  /** The narrow projection of TripleRow that document assembly reads —
+    * shuffling the full row would drag source_text (the whole source
+    * sentence, the widest column) and the span/confidence provenance
+    * through the url exchange for nothing (guide §2.3: project before
+    * the exchange). */
+  final case class JsonLdIn(url: String, subj: String, pred: String,
+      obj: String, obj_is_entity: Boolean, subj_surface: String,
+      subj_type: String, obj_type: String, chunk_id: Int, sent_idx: Int)
+
   def jsonLdDocuments(trip: Dataset[TripleRow]): DataFrame = {
     val spark = trip.sparkSession
     import spark.implicits._
     import graft.kernel.{JsonLd, JVal, PredDict}
     import graft.kernel.JVal.JStr
-    trip.groupByKey(_.url).mapGroups { (url, it) =>
+    trip.toDF.select(col("url"), col("subj"), col("pred"), col("obj"),
+        col("obj_is_entity"), col("subj_surface"), col("subj_type"),
+        col("obj_type"), col("chunk_id"), col("sent_idx"))
+      .as[JsonLdIn]
+      .groupByKey(_.url).mapGroups { (url, it) =>
       // subj completes the sort key: (url, subj, pred, obj) is unique
       // after dedup, so document assembly is fully deterministic (and
       // therefore reconstructible by the DuckDB oracle)
@@ -314,7 +348,7 @@ object Pipeline {
     * Shuffle tier: the triple side carries salt = crc32(url) % S and the
     * vocabulary side is exploded across all S salts, so each (surface,
     * salt) shuffle key holds ~1/S of a hot surface's rows. */
-  private def joinBackEdges(trip: DataFrame, surfaceIri: DataFrame,
+  def edgesFromVocab(trip: DataFrame, surfaceIri: DataFrame,
       useBroadcast: Boolean): DataFrame = {
     val resolved =
       if (useBroadcast) {

@@ -155,7 +155,15 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[TripleRow], batchId: Long) =>
-        val trip = Kg.dedup(batch)
+        // Eagerly materialize the batch's deduped triples ONCE: the
+        // graph build references them from four plan branches (the
+        // surfaceInfo union twice, nodes, edges), and in a micro-batch
+        // there is no parquet checkpoint upstream — each branch would
+        // re-run the batch's extraction + dedup shuffle (measured: the
+        // whole slice extracts in ~0.5 s but runLinked paid ~7 s per
+        // batch). Batch-sized, released in the finally below (the
+        // checkpoint-RDD leak the StreamIngestSpec guard watches for).
+        val trip = Kg.dedup(batch).localCheckpoint(true)
         // releasable build: the stream must not accumulate the graph
         // build's internal persisted tables across micro-batches —
         // release fires after the batch's terminal write
@@ -164,8 +172,15 @@ object StreamIngest {
         try {
           batch.sparkSession.conf
             .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          // repartition by the partition column before the write: the
+          // edge plan ends with ~32 narrow tasks that would each open a
+          // file in every pk directory (~32×nBuckets tiny files per
+          // batch, and the dynamic-overwrite commit walks them all) —
+          // one pk-keyed shuffle of the batch-sized edges yields one
+          // file per pk (guide §6 small-files; identical rows)
           edges.withColumn("batch", lit(batchId))
             .withColumn("pk", Checkpointed.bucketOf(col("url"), nBuckets))
+            .repartition(col("pk"))
             .write.mode("overwrite").partitionBy("batch", "pk")
             .parquet(s"$outDir/edges")
           // node delta: this batch's vocabulary-sized node rows (both
@@ -173,9 +188,14 @@ object StreamIngest {
           // between the two writes replays the whole batch — both sinks
           // are partition-idempotent, so the rewrite is byte-identical.
           nodes.withColumn("batch", lit(batchId))
+            .repartition(1)
             .write.mode("overwrite").partitionBy("batch")
             .parquet(s"$outDir/nodes")
-        } finally release()
+        } finally {
+          release()
+          org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(trip)
+          ()
+        }
       }
       .start()
   }

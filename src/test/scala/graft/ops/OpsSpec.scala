@@ -926,6 +926,33 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ivfProbesKernel == columnar ivfProbes, probe list for probe list") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(61L)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(64)((rng.nextDouble() - 0.5).toFloat)))
+    val cents = Array.tabulate(8)(Similarity.ivfCentroid(_, 64))
+    val columnar = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.ivfProbes(col("embedding"), 64, 8, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.ivfProbesKernel(v, cents, 4).toList == columnar(id), s"vec $id")
+    }
+  }
+
+  test("pqAdcKernel == columnar pqAdcColumn, double for double") {
+    import spark.implicits._
+    val rng = new graft.pipeline.Rng(67L)
+    val vecs = (0L until 20L).map(i => (i, Array.fill(64)((rng.nextDouble() - 0.5).toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.fitPqCodebooks(corpus, dim = 64, m = 8, k = 8, iters = 2)
+    val columnar = corpus
+      .select(col("vec_id"), Similarity.pqAdcColumn(col("embedding"), books).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.pqAdcKernel(v, books).toSeq == columnar(id).toSeq, s"vec $id")
+    }
+  }
+
   test("semDedup: planted semantic dup drops the higher id, singletons keep") {
     import spark.implicits._
     val rng = new graft.pipeline.Rng(47L)
