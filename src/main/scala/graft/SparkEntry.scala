@@ -83,31 +83,46 @@ object SparkEntry {
     s.read.parquet(winner.get())
   }
 
+  /** Checkpointed KB link table over the corpus's distinct entity
+    * surfaces (surface, uri, link_confidence) — the exact+fuzzy-JW
+    * linking stage, run ONCE per JVM and consumed by both the kg_links
+    * query and the vocabulary→IRI build below. The surface set (subj
+    * surfaces ∪ entity objects, distinct) is the same set the graph
+    * build's rollup produces. */
+  def linksFor(s: SparkSession, dir: String): DataFrame =
+    checkpointed(s, s"links_${pagesFor(dir)}") {
+      val trip = triplesFor(s, dir)
+      val surfaces = trip.select(col("subj_surface").as("surface"))
+        .unionByName(trip.filter(col("obj_is_entity")).select(col("obj").as("surface")))
+        .distinct()
+      Pipeline.linkSurfaces(surfaces, Corpus.kb(s), kbCountHint = kbCountHint)
+    }
+
   /** Checkpointed vocabulary→IRI table (the linking+mint stage of the
     * graph build): kg_nodes_edges, kg_node_props and the edge
     * checkpoint all consume it, so the surface rollup and the KB link
-    * joins run once per JVM instead of once per consumer. */
+    * joins run once per JVM instead of once per consumer (the links
+    * themselves come from the shared linksFor checkpoint). */
   def surfaceIriFor(s: SparkSession, dir: String): DataFrame =
     checkpointedRelease(s, s"surface_iri_${pagesFor(dir)}") {
       import s.implicits._
       val (df, _, release) = Pipeline.surfaceIriReleasable(
-        triplesFor(s, dir).as[TripleRow], Corpus.kb(s), kbCountHint = kbCountHint)
+        triplesFor(s, dir).as[TripleRow], Corpus.kb(s), kbCountHint = kbCountHint,
+        precomputedLinks = Some(linksFor(s, dir).select(col("surface"), col("uri"))))
       (df, release)
     }
 
   /** Checkpointed deduped triples of the synthesized corpus at this sf.
-    * Derived FROM the resolved-chunk checkpoint instead of a second
-    * fused pages pass: extract∘chunk∘coref runs once (resolvedFor) and
-    * only relation extraction + the A6 dedup run here — identical rows
-    * to Kg.pagesToTriples (the fused≡staged equivalence PipelineSpec
-    * pins; re-verified against the DuckDB oracle), one full
-    * extract+chunk+coref pass cheaper across the warmup (guide §1.2:
-    * don't compute things twice). */
+    * Stays the FUSED pages pass: measured (BenchExtra `warmup` mode),
+    * the whole fused synthesis+extract+chunk+coref+relations pass is
+    * ~0.6 s warm, while deriving triples from the resolved parquet
+    * costs ~3.6 s — decoding the mention_map MAP column per chunk row
+    * dwarfs the re-run NLP, so "share the NLP pass" loses to "re-run
+    * it fused" here (guide §1.1: the ideal plan lost to a gotcha;
+    * measure, don't assume). */
   def triplesFor(s: SparkSession, dir: String): DataFrame =
-    checkpointed(s, s"triples_${pagesFor(dir)}") {
-      import s.implicits._
-      Kg.dedup(Kg.triples(resolvedFor(s, dir).as[ResolvedRow])).toDF
-    }
+    checkpointed(s, s"triples_${pagesFor(dir)}")(
+      Kg.pagesToTriples(Corpus.pages(s, pagesFor(dir))).toDF)
 
   /** Checkpointed resolved chunks (stage-0 output) at this sf. */
   def resolvedFor(s: SparkSession, dir: String): DataFrame =
@@ -293,24 +308,50 @@ object SparkEntry {
     // stay inside one chain; the per-key FutureTask memo makes a build
     // shared by two chains run exactly once.
     val chains: Seq[() => Unit] = Seq(
-      // critical path: resolved → triples → vocab/linking → edges →
-      // distinct edges
+      // critical path: triples → links → vocab IRIs → edges → distinct
+      // edges (independent of the resolved chain — triples use the
+      // fused pass)
       () => {
         triplesFor(s, dir).count()
+        linksFor(s, dir).count()
         surfaceIriFor(s, dir).count()
         edgesFor(s, dir).count()
         distinctEdgesFor(s, dir).count()
         ()
       },
-      () => { entityTableFor(s, dir).count(); () }, // waits on resolved, then mentions pass
+      () => {
+        resolvedFor(s, dir).count()
+        entityTableFor(s, dir).count() // the mentions pass over resolved
+        ()
+      },
       () => { clustersFor(s, dir).count(); () },
       () => { ivfCentroidsFor(s, dir); pqCodebooksFor(s, dir); () },
       () => { bpeFitFor(s, dir); bloomFor(s, dir); () },
-      () => { pagesTsFor(s, dir).count(); goldFor(s, dir).count(); () })
+      () => { pagesTsFor(s, dir).count(); goldFor(s, dir).count(); () },
+      // the one REAL streaming run is a SHARED artifact too — BOTH
+      // parity queries read its output (the r4 warmup contract: a
+      // first-touch shared build must never be charged to whichever
+      // query happens to run first), and as its own chain the mostly
+      // driver-bound micro-batch machinery overlaps the CPU-bound
+      // builds above (guide §2.6)
+      () => { streamParityOutFor(s, dir); () })
+    val names = Seq("triples+graph", "resolved+entities", "clusters",
+      "ivf+pq", "bpe+bloom", "pagesTs+gold", "stream_parity")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
     try {
-      val futures = chains.map(c =>
-        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = c() }))
+      val futures = chains.zip(names).map { case (c, n) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val t0 = System.nanoTime()
+            c()
+            // stderr trace so the warmup's composition stays observable
+            // per run (never parsed by the driver, which reads only the
+            // one JSON stdout line)
+            System.err.println(
+              f"[warmup] $n%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          }
+        })
+      }
       // propagate the FIRST failure loudly (the bench treats a warmup
       // throw as a failed entry — same contract as the sequential form)
       futures.foreach(_.get())
@@ -364,11 +405,10 @@ object SparkEntry {
     // exact + blocked-fuzzy JW + top-1, oracle-checked against DuckDB's
     // jaro_winkler_similarity
     "kg_links" -> ((s, dir) => {
-      val trip = triplesFor(s, dir)
-      val surfaces = trip.select(col("subj_surface").as("surface"))
-        .unionByName(trip.filter(col("obj_is_entity")).select(col("obj").as("surface")))
-        .distinct()
-      Pipeline.linkSurfaces(surfaces, Corpus.kb(s), kbCountHint = kbCountHint)
+      // the shared link checkpoint (identical rows: same surface set,
+      // same linkSurfaces build; parquet round-trips the confidence
+      // doubles exactly, rounding applied here as before)
+      linksFor(s, dir)
         .select(col("surface"), col("uri"),
           round(col("link_confidence"), 4).as("link_confidence"))
     }),

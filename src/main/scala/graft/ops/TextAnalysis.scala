@@ -368,12 +368,20 @@ object TextAnalysis {
       (a, b) => concat_ws(" ", a, b))
     val ex = docs.select(col(idCol), explode(bigrams).as("bg"))
       .localCheckpoint(true)
+    // context counts and the vocabulary FOLD FROM the bigram-count
+    // table instead of two more passes over the exploded stream: a
+    // context's count is the sum of its bigrams' counts, and the
+    // distinct-token set equals the distinct set of bigram second
+    // elements (guide §2.3 aggregate before you shuffle). bgCounts is
+    // materialized once for its three consumers.
     val bgCounts = ex.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-    val ctxCounts = ex.select(substring_index(col("bg"), " ", 1).as("ctx"))
-      .groupBy(col("ctx")).agg(count(lit(1)).as("c_ctx"))
+      .localCheckpoint(true)
+    val ctxCounts = bgCounts.select(substring_index(col("bg"), " ", 1).as("ctx"),
+        col("c_bg"))
+      .groupBy(col("ctx")).agg(sum(col("c_bg")).as("c_ctx"))
     // V = distinct tokens: every token occurs as the second element
-    // (`cur`) of exactly one bigram, so the checkpoint covers it
-    val vocab = ex.select(substring_index(col("bg"), " ", -1).as("tok"))
+    // (`cur`) of at least one bigram, so the bigram vocabulary covers it
+    val vocab = bgCounts.select(substring_index(col("bg"), " ", -1).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val scores = ex.join(bgCounts, Seq("bg"))
       .withColumn("ctx", substring_index(col("bg"), " ", 1))
@@ -384,7 +392,11 @@ object TextAnalysis {
         round(avg(log((col("c_bg") + 1).cast("double") / (col("c_ctx") + col("v")))), 4)
           .as("avg_logp"))
     (scores,
-      () => { org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ex); () })
+      () => {
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ex)
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bgCounts)
+        ()
+      })
   }
 
   /** DSIR-shape data selection (Xie et al. 2023, "Data Selection for

@@ -201,7 +201,8 @@ object Pipeline {
   def surfaceIriReleasable(trip: Dataset[TripleRow], kb: Dataset[KbEntry],
       broadcastVocabLimit: Long = defaultBroadcastVocabLimit,
       broadcastKbLimit: Long = defaultBroadcastKbLimit,
-      kbCountHint: Option[Long] = None): (DataFrame, Long, () => Unit) = {
+      kbCountHint: Option[Long] = None,
+      precomputedLinks: Option[DataFrame] = None): (DataFrame, Long, () => Unit) = {
     val surfaceInfo = trip.toDF
       .select(col("subj_surface").as("surface"), col("subj_type").as("entity_type"),
         col("subj").as("slug"))
@@ -218,8 +219,14 @@ object Pipeline {
 
     // Linking + IRI minting, all vocabulary-sized. links has unique
     // surface keys, so the non-broadcast join needs no salt (no skew).
-    val links = linkSurfaces(surfaceInfo.select(col("surface")), kb, broadcastKbLimit,
-      kbCountHint)
+    // A caller that has ALREADY linked this corpus's surface vocabulary
+    // (e.g. a checkpointed link table the kg_links query also reads)
+    // passes it in and linking runs once per corpus, not once per
+    // consumer — the surface set here (subj surfaces ∪ entity objects)
+    // is by construction the set linkSurfaces was fed.
+    val links = precomputedLinks.getOrElse(
+      linkSurfaces(surfaceInfo.select(col("surface")), kb, broadcastKbLimit,
+        kbCountHint))
     val linkSide = links.select(col("surface"), col("uri"))
     val surfaceIri = surfaceInfo
       .join(if (useBroadcast) broadcast(linkSide) else linkSide, Seq("surface"), "left")

@@ -118,16 +118,46 @@ object BenchExtra {
             graft.pipeline.Corpus.pages(spark, n)).toDF)
         }
       case "queries" =>
-        // noop-sink isolation of a few hot declared queries
-        for (name <- Seq("q_span_dedup", "q_phrase_mine", "q_knn_ivf",
+        // noop-sink isolation of hot declared queries; shared builds
+        // first (untimed) so first-touch costs don't pollute
+        graft.SparkEntry.warmupSharedCheckpoints(spark, sfDir)
+        val names = if (args.length > 1) args(1).split(",").toSeq
+          else Seq("q_span_dedup", "q_phrase_mine", "q_knn_ivf",
             "q_knn_lsh", "q_knn_lsh_multiprobe", "q_knn_pq",
             "q_multimodal_avi", "q_multimodal_png", "q_multimodal_resize",
-            "q_multimodal_wav", "q_sample_mix", "kg_bgp")) {
+            "q_multimodal_wav", "q_multimodal_segments", "q_sample_mix",
+            "kg_bgp", "q_sim_join_jw", "kg_retry_feedback", "kg_links",
+            "q_dedup_index_probe", "kg_components", "q_lm_score",
+            "kg_jsonld_docs", "q_tfidf")
+        for (name <- names) {
           val fn = graft.SparkEntry.queries(name)
           timed(s"query: $name (noop)") { noop(fn(spark, sfDir)) }
         }
+      case "wav" =>
+        // single-threaded driver micro-bench of the WAV encode/decode
+        // kernels (no Spark): where do the audio queries' seconds go?
+        val n = 4000
+        def encodeAll(): IndexedSeq[Array[Byte]] =
+          (0 until n).map { i =>
+            val id = i.toLong
+            graft.ops.Multimodal.encodeWavPcm16((8000 + (id % 3) * 4000).toInt,
+              graft.ops.Multimodal.wavSamples(id, (800 + (id % 5) * 400).toInt))
+          }
+        var datas: IndexedSeq[Array[Byte]] = null
+        timed(s"wav: encode $n clips (driver, 1 thread)") { datas = encodeAll() }
+        timed(s"wav: encode again (JIT-warm)") { datas = encodeAll() }
+        timed(s"wav: decode $n clips (driver, 1 thread)") {
+          var s = 0L
+          datas.foreach { bytes =>
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val pcm = in.readAllBytes()
+            s += pcm.length
+          }
+          s
+        }
       case other =>
-        System.err.println(s"unknown mode $other (stream|warmup|queries)")
+        System.err.println(s"unknown mode $other (stream|warmup|queries|wav)")
         sys.exit(2)
     }
     spark.stop()
