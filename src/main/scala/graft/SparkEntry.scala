@@ -337,9 +337,16 @@ object SparkEntry {
       () => { streamParityOutFor(s, dir); () })
     val names = Seq("triples+graph", "resolved+entities", "clusters",
       "ivf+pq", "bpe+bloom", "pagesTs+gold", "stream_parity")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+    // 4 build slots, longest chains first: running all seven chains at
+    // once lets the short fit/gold chains steal cores from the two
+    // critical chains (measured: stream_parity 14 s solo → 19 s under
+    // 7-way contention); with 4 slots the short chains back-fill as
+    // slots free up (guide §2.6: "2-3 jobs in flight is plenty")
+    val order = Seq(6, 0, 2, 1, 3, 4, 5) // stream, graph, clusters, resolved, then short
+    val ordered = order.map(i => (chains(i), names(i)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
-      val futures = chains.zip(names).map { case (c, n) =>
+      val futures = ordered.map { case (c, n) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = {
             val t0 = System.nanoTime()

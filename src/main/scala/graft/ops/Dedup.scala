@@ -225,6 +225,10 @@ object Dedup {
   def lshIndexWrite(df: DataFrame, idCol: String, textCol: String, dir: String,
       n: Int = 3, k: Int = 32, bands: Int = 8): Unit =
     lshBuckets(df, idCol, textCol, n, k, bands)
+      // one band-keyed shuffle of the (tiny) bucket rows → one file per
+      // band partition instead of every scan task opening a file in
+      // every band directory (guide §6 small-files)
+      .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(dir)
 
   /** Probe the index with a NEW batch: near-dup candidate pairs

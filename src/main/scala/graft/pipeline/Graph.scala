@@ -301,13 +301,16 @@ object Graph {
     * handles skewed join vars. */
   def bgp(edges: DataFrame, patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
-    // eager materialization: every pattern branch references the
-    // distinct (s,p,o) view, and an unmaterialized view re-runs its
-    // scan+distinct once per pattern (the multi-branch recompute trap,
-    // CLAUDE.md) — one localCheckpoint pays it exactly once
+    // constants filter BEFORE the distinct: each pattern filters the
+    // raw (s,p,o) view and deduplicates only ITS candidate rows —
+    // distinct commutes with the constant filters, so the row sets are
+    // identical, but the (usually highly selective) predicate-position
+    // constant now pushes down to the edge scan (PushedFilters on pred)
+    // and the per-pattern distinct shuffles pattern-sized data instead
+    // of one whole-graph distinct evaluated once per pattern (guide
+    // §2.3/§6).
     val spo = edges.select(col("src_iri").as("s"), col("pred").as("p"),
-      coalesce(col("dst_iri"), col("obj_literal")).as("o")).distinct()
-      .localCheckpoint(true)
+      coalesce(col("dst_iri"), col("obj_literal")).as("o"))
     def isVar(t: String) = t.startsWith("?")
     val frames = patterns.map { case (s, p, o) =>
       val terms = Seq(s -> "s", p -> "p", o -> "o")
@@ -317,7 +320,7 @@ object Graph {
       val filtered = terms.foldLeft(spo) { case (df, (t, c)) =>
         if (isVar(t)) df else df.filter(col(c) === t)
       }
-      filtered.select(vars.map { case (v, c) => col(c).as(v) }: _*)
+      filtered.distinct().select(vars.map { case (v, c) => col(c).as(v) }: _*)
     }
     frames.reduce { (a, b) =>
       val common = a.columns.intersect(b.columns).toSeq

@@ -203,16 +203,7 @@ object Pipeline {
       broadcastKbLimit: Long = defaultBroadcastKbLimit,
       kbCountHint: Option[Long] = None,
       precomputedLinks: Option[DataFrame] = None): (DataFrame, Long, () => Unit) = {
-    val surfaceInfo = trip.toDF
-      .select(col("subj_surface").as("surface"), col("subj_type").as("entity_type"),
-        col("subj").as("slug"))
-      .unionByName(trip.toDF.filter(col("obj_is_entity"))
-        .select(col("obj").as("surface"), col("obj_type").as("entity_type"),
-          col("obj_slug").as("slug")))
-      .groupBy(col("surface"))
-      .agg(min_by(struct(col("entity_type"), col("slug")),
-        struct(col("entity_type"), col("slug"))).as("i"))
-      .select(col("surface"), col("i.entity_type").as("entity_type"), col("i.slug").as("slug"))
+    val surfaceInfo = surfaceRollup(trip.toDF)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vocabN = surfaceInfo.count() // forces the cache; sizes the tier
     val useBroadcast = vocabN <= broadcastVocabLimit
@@ -227,19 +218,39 @@ object Pipeline {
     val links = precomputedLinks.getOrElse(
       linkSurfaces(surfaceInfo.select(col("surface")), kb, broadcastKbLimit,
         kbCountHint))
-    val linkSide = links.select(col("surface"), col("uri"))
-    val surfaceIri = surfaceInfo
-      .join(if (useBroadcast) broadcast(linkSide) else linkSide, Seq("surface"), "left")
-      // minted IRI uses an md5 prefix (portable: identical in DuckDB,
-      // so the whole graph build is oracle-checkable end to end)
-      .withColumn("iri", coalesce(col("uri"),
-        concat(lit("https://kg.local/e/"), col("slug"), lit("-"),
-          substring(md5(col("surface")), 1, 8))))
-      .select(col("surface"), col("entity_type"), col("slug"), col("iri"))
+    val surfaceIri = mintIris(surfaceInfo, links, useBroadcast)
       .persist(StorageLevel.MEMORY_AND_DISK)
     surfaceIri.count() // force once; both join-back tiers reuse the cache
     (surfaceIri, vocabN,
       () => { surfaceIri.unpersist(); surfaceInfo.unpersist(); () })
+  }
+
+  /** The ONE big-table rollup of the graph build: every distinct entity
+    * surface with its deterministic (type, slug) representative. */
+  def surfaceRollup(trip: DataFrame): DataFrame =
+    trip
+      .select(col("subj_surface").as("surface"), col("subj_type").as("entity_type"),
+        col("subj").as("slug"))
+      .unionByName(trip.filter(col("obj_is_entity"))
+        .select(col("obj").as("surface"), col("obj_type").as("entity_type"),
+          col("obj_slug").as("slug")))
+      .groupBy(col("surface"))
+      .agg(min_by(struct(col("entity_type"), col("slug")),
+        struct(col("entity_type"), col("slug"))).as("i"))
+      .select(col("surface"), col("i.entity_type").as("entity_type"), col("i.slug").as("slug"))
+
+  /** Attach link URIs and mint IRIs for unlinked surfaces (md5 prefix —
+    * portable: identical in DuckDB, so the whole graph build stays
+    * oracle-checkable end to end). */
+  def mintIris(surfaceInfo: DataFrame, links: DataFrame,
+      useBroadcast: Boolean): DataFrame = {
+    val linkSide = links.select(col("surface"), col("uri"))
+    surfaceInfo
+      .join(if (useBroadcast) broadcast(linkSide) else linkSide, Seq("surface"), "left")
+      .withColumn("iri", coalesce(col("uri"),
+        concat(lit("https://kg.local/e/"), col("slug"), lit("-"),
+          substring(md5(col("surface")), 1, 8))))
+      .select(col("surface"), col("entity_type"), col("slug"), col("iri"))
   }
 
   /** Per-IRI property map, last-write-wins per property key: the props
@@ -249,15 +260,19 @@ object Pipeline {
     * pinned by (url, chunk_id, sent_idx) — url ascending as the
     * deterministic crawl-order stand-in (SURVEY.md §1 data model). */
   def nodePropsFromVocab(trip: DataFrame, surfaceIri: DataFrame): DataFrame = {
-    val lastWrite = trip
-      .groupBy(col("subj_surface").as("surface"), col("pred"))
-      .agg(max_by(struct(col("obj"), col("url"), col("chunk_id"), col("sent_idx")),
-        struct(col("url"), col("chunk_id"), col("sent_idx"), col("obj"))).as("w"))
-    lastWrite
+    // ONE (iri, pred) aggregation instead of the old two-level
+    // (surface, pred)-then-(iri, pred) max_by: max-of-maxes equals the
+    // global max over the same (url, chunk_id, sent_idx, obj) order, so
+    // the winner (and its obj) is identical, and max_by partial
+    // aggregation still combines map-side before the single exchange
+    // (guide §2.4 — one shuffle removed; row-identity oracle-verified).
+    trip
+      .select(col("subj_surface").as("surface"), col("pred"), col("obj"),
+        col("url"), col("chunk_id"), col("sent_idx"))
       .join(surfaceIri.select(col("surface"), col("iri")), Seq("surface"))
       .groupBy(col("iri"), col("pred"))
-      .agg(max_by(col("w.obj"),
-        struct(col("w.url"), col("w.chunk_id"), col("w.sent_idx"), col("w.obj"))).as("last_obj"))
+      .agg(max_by(col("obj"),
+        struct(col("url"), col("chunk_id"), col("sent_idx"), col("obj"))).as("last_obj"))
       .groupBy(col("iri"))
       .agg(map_from_entries(
         array_sort(collect_list(struct(col("pred"), col("last_obj"))))).as("props"))

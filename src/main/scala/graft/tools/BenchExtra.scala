@@ -133,6 +133,10 @@ object BenchExtra {
           val fn = graft.SparkEntry.queries(name)
           timed(s"query: $name (noop)") { noop(fn(spark, sfDir)) }
         }
+      case "warmupall" =>
+        timed("warmupSharedCheckpoints (full)") {
+          graft.SparkEntry.warmupSharedCheckpoints(spark, sfDir)
+        }
       case "wav" =>
         // single-threaded driver micro-bench of the WAV encode/decode
         // kernels (no Spark): where do the audio queries' seconds go?
