@@ -43,6 +43,10 @@ object BenchExtra {
           spark.range(0, n, 5, 32).map(id => graft.pipeline.Corpus.genPage(id)._1)
             .toDF.write.mode("overwrite").parquet(s"$base/pages")
         }
+        timed("stream: slice gen+write again (JIT-warm)") {
+          spark.range(0, n, 5, 32).map(id => graft.pipeline.Corpus.genPage(id)._1)
+            .toDF.write.mode("overwrite").parquet(s"$base/pages2")
+        }
         // job-level listener: what does the stream actually run?
         val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
