@@ -312,20 +312,34 @@ object Graph {
     val spo = edges.select(col("src_iri").as("s"), col("pred").as("p"),
       coalesce(col("dst_iri"), col("obj_literal")).as("o"))
     def isVar(t: String) = t.startsWith("?")
+    var anyZeroVar = false
     val frames = patterns.map { case (s, p, o) =>
       val terms = Seq(s -> "s", p -> "p", o -> "o")
       val vars = terms.collect { case (t, c) if isVar(t) => (t.drop(1), c) }
       require(vars.map(_._1).distinct.size == vars.size,
         s"repeated variable within one pattern: ($s, $p, $o)")
+      if (vars.isEmpty) anyZeroVar = true
       val filtered = terms.foldLeft(spo) { case (df, (t, c)) =>
         if (isVar(t)) df else df.filter(col(c) === t)
       }
       filtered.distinct().select(vars.map { case (v, c) => col(c).as(v) }: _*)
     }
-    frames.reduce { (a, b) =>
+    val joined = frames.reduce { (a, b) =>
       val common = a.columns.intersect(b.columns).toSeq
       if (common.nonEmpty) a.join(b, common) else a.crossJoin(b)
-    }.distinct()
+    }
+    // The reduce of per-pattern-distinct frames is ALREADY distinct:
+    // each frame is unique on its var columns (distinct (s,p,o) rows
+    // with the constants fixed project to distinct var tuples), and an
+    // equi-join (or cross join) of row-unique inputs on shared columns
+    // yields row-unique output — so the old trailing .distinct() was a
+    // full re-shuffle of the final (largest) table for nothing (guide
+    // §2.4 "a distinct on data that is already unique"). The one shape
+    // that breaks the argument is a ZERO-variable pattern (an
+    // all-constant ASK-style frame projects to zero columns, where
+    // "distinct" must still collapse to ≤1 row) — keep the distinct
+    // exactly there.
+    if (anyZeroVar) joined.distinct() else joined
   }
 
   /** Enriched triples (from Linking.enrich) → (nodes, edges). */

@@ -86,6 +86,34 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bgp output is duplicate-free without a trailing distinct; zero-var patterns collapse") {
+    import spark.implicits._
+    // duplicate edge rows (same s,p,o stated twice) + a hub person with
+    // several orgs AND several cities — the fan-in shape whose join
+    // would amplify any per-pattern duplicate
+    val e = Seq(
+      ("ann", "worksfor", "acme"), ("ann", "worksfor", "acme"),
+      ("ann", "worksfor", "zen"), ("ann", "birthplac", "lyon"),
+      ("ann", "birthplac", "oslo"), ("ann", "birthplac", "oslo"),
+      ("bob", "worksfor", "acme"), ("bob", "birthplac", "lyon"))
+      .map { case (s, p, o) => (s, p, o, null.asInstanceOf[String], false) }
+      .toDF("src_iri", "pred", "dst_iri", "obj_literal", "is_literal")
+    val pats = Seq(("?p", "worksfor", "?org"), ("?p", "birthplac", "?city"))
+    val rows = Graph.bgp(e, pats).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // exactly the distinct conjunctions, each ONCE (no trailing distinct
+    // needed: per-pattern distinct survives the equi-join)
+    assert(rows.length == rows.distinct.length, s"duplicates in ${rows.toSeq}")
+    assert(rows.toSet == Set(
+      ("ann", "acme", "lyon"), ("ann", "acme", "oslo"),
+      ("ann", "zen", "lyon"), ("ann", "zen", "oslo"),
+      ("bob", "acme", "lyon")))
+    // zero-variable (ASK-style) pattern: many matching base rows must
+    // still collapse to a single empty-tuple row (the one shape that
+    // keeps the trailing distinct)
+    assert(Graph.bgp(e, Seq(("ann", "worksfor", "acme"))).count() == 1L)
+  }
+
   test("pageRank: sink-heavy node ranks highest; deterministic re-run") {
     // star into "hub": everyone links to hub, hub links to one spoke
     val e = edges(Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")))
