@@ -529,12 +529,19 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
-    // J8 set intersection
+    // J8 set intersection — ONE scan + ONE exchange: a part key is in
+    // the intersection iff some row clears the discount filter AND some
+    // row clears the tax filter, so per-key max-flags over a single
+    // pass replace filter-distinct-each-side + intersect join
+    // (set-identical to a.intersect(b); guide §2.4)
     "q_intersect" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val a = li.filter(col("l_discount") >= 0.05).select(col("l_partkey"))
-      val b = li.filter(col("l_tax") >= 0.04).select(col("l_partkey"))
-      a.intersect(b).orderBy(col("l_partkey"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("l_discount") >= 0.05, 1)).as("__a"),
+          max(when(col("l_tax") >= 0.04, 1)).as("__b"))
+        .filter(col("__a").isNotNull && col("__b").isNotNull)
+        .select(col("l_partkey"))
+        .orderBy(col("l_partkey"))
     }),
     // P4 slugify — native Catalyst Expression (codegen'd, no UDF) vs
     // an independent DuckDB regexp oracle
@@ -1050,13 +1057,20 @@ object SparkEntry {
     }),
     // J8: cross-document entity intersection (shared subjects between
     // two halves of the corpus) — self-join flavored set op
+    // one corpus explode + one token exchange (the q_intersect
+    // max-flags shape): a token intersects iff it occurs in both
+    // halves — identical set to distinct-each-half + intersect
     "q_entity_intersect" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val a = d.filter(col("doc_id") % 2 === 0)
-        .select(explode(split(col("text"), " ")).as("tok")).distinct()
-      val b = d.filter(col("doc_id") % 2 === 1)
-        .select(explode(split(col("text"), " ")).as("tok")).distinct()
-      a.intersect(b).filter(length(col("tok")) > 0).orderBy(col("tok"))
+      t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("__even"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(max(when(col("__even"), 1)).as("__a"),
+          max(when(!col("__even"), 1)).as("__b"))
+        .filter(col("__a").isNotNull && col("__b").isNotNull &&
+          length(col("tok")) > 0)
+        .select(col("tok"))
+        .orderBy(col("tok"))
     }),
     // S3+T4: JSON-LD ingest + flattening. The JSON is constructed from
     // relational columns, flattened through the kernel parser/flattener,

@@ -37,7 +37,7 @@ object Eval {
     * row-identical to distinct-each-side + full-outer join (a key in
     * pred gets max(in_pred)=1 else null, same for gold) but one
     * exchange instead of three (two distincts + the join; guide §2.4). */
-  private[pipeline] def membershipFlags(predicted: DataFrame, gold: DataFrame,
+  private[graft] def membershipFlags(predicted: DataFrame, gold: DataFrame,
       keys: Seq[String]): DataFrame =
     predicted.select(keys.map(col) :+ lit(1).as("in_pred") :+
         lit(null).cast("int").as("in_gold"): _*)

@@ -184,11 +184,9 @@ object WebNlg {
     * data — the WebNLG eval shape of webnlg_evaluation.rs:66-133). */
   def evalByCategory(predicted: DataFrame, gold: DataFrame): DataFrame = {
     val keys = Seq("eid", "subj", "pred", "obj")
-    val p = predicted.select((keys :+ "category").map(col): _*).distinct()
-      .withColumn("in_pred", lit(1))
-    val g = gold.select((keys :+ "category").map(col): _*).distinct()
-      .withColumn("in_gold", lit(1))
-    p.join(g, keys :+ "category", "full_outer")
+    // one-exchange membership flags (Eval.membershipFlags): identical
+    // rows to distinct-each-side + full-outer join on keys+category
+    graft.pipeline.Eval.membershipFlags(predicted, gold, keys :+ "category")
       .groupBy(col("category"))
       .agg(
         count_distinct(col("eid")).as("n_entries"),
