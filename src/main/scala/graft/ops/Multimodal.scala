@@ -709,8 +709,11 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val f = in.getFormat
-        require(f.getSampleSizeInBits == 16 && !f.isBigEndian, "unexpected WAV format")
-        val pcm = in.readAllBytes()
+        // mono required: stereo PCM would be silently windowed as
+        // interleaved mono (ADVICE r06); stream closed after the read
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          f.getChannels == 1, "unexpected WAV format")
+        val pcm = try in.readAllBytes() finally in.close()
         val ns = pcm.length / 2
         var sum = 0L
         var sumSq = 0L
@@ -804,9 +807,11 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val f = in.getFormat
-        require(f.getSampleSizeInBits == 16 && !f.isBigEndian, "unexpected WAV format")
+        // mono required + stream closed (ADVICE r06; see wavDecodeStats)
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          f.getChannels == 1, "unexpected WAV format")
         val rate = f.getSampleRate.toInt
-        val pcm = in.readAllBytes()
+        val pcm = try in.readAllBytes() finally in.close()
         val ns = pcm.length / 2
         val nSegs = (ns + segSamples - 1) / segSamples
         (0 until nSegs).iterator.map { seg =>
